@@ -1,0 +1,72 @@
+"""Benchmark: path-tracing throughput (rays/s) on the device JAX selects.
+
+Renders the reference's example_project3_box.xml (Cornell-style, fully
+asset-complete) with the flagship path-trace integrator and reports primary
+rays per second, counting one full path-trace dispatch per primary ray (all
+bounces + shadow rays included in the timed work but only primary rays in
+the numerator, matching how the reference would count PixelRender calls).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against BASELINE_RAYS_PER_S (the qaray C++ reference
+on a contemporary multicore CPU; the reference publishes no numbers — see
+BASELINE.md — so this anchor is an estimated 5 Mray/s for an 8-thread CPU
+Whitted-style render of this scene).
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_RAYS_PER_S = 5.0e6
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from qaray_tpu.integrators.engine import IntegratorConfig, render_batch
+    from qaray_tpu.scene.compiler import compile_scene
+    from qaray_tpu.scene.xml_parser import load_scene
+
+    scene = load_scene("/root/reference/inputs/example_project3_box.xml")
+    arrays, meta = compile_scene(scene)
+    cfg = IntegratorConfig(integrator="pathtrace", max_bounce=5, shadow_spp=16)
+
+    w, h = meta.img_width, meta.img_height
+    batch = w * h  # 480k primary rays per dispatch
+    ids = np.arange(batch, dtype=np.int32)
+    px = jnp.asarray(ids % w)
+    py = jnp.asarray(ids // w)
+    key = jax.random.PRNGKey(0)
+
+    def step(s):
+        sample_ids = jnp.full((batch,), s, jnp.int32)
+        radiance, t0 = render_batch(arrays, meta, cfg, px, py, sample_ids, key)
+        return radiance
+
+    # Warmup / compile.
+    step(0).block_until_ready()
+
+    rounds = 5
+    t_start = time.perf_counter()
+    for s in range(1, rounds + 1):
+        out = step(s)
+    out.block_until_ready()
+    elapsed = time.perf_counter() - t_start
+
+    rays_per_s = rounds * batch / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "primary_rays_per_s_pathtrace_box",
+                "value": rays_per_s,
+                "unit": "rays/s",
+                "vs_baseline": rays_per_s / BASELINE_RAYS_PER_S,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""CLI entry point, flag-compatible with the reference (src/main.cpp:8-61).
+
+    python -m qaray_tpu.cli scene.xml -batch -spp 8 -bounce 5 -srgb 1
+
+Differences from the reference: no GLUT GUI mode (`-batch` is implied; the
+flag is accepted for compatibility), plus TPU-native extras:
+    -integrator {photonmap,pathtrace,basic,phong,mcgi}
+    -seed N           deterministic RNG seed
+    -out PREFIX       output file prefix
+    -devices N        shard the render over N devices
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from qaray_tpu.renderer import Renderer, RendererParam
+from qaray_tpu.scene.xml_parser import load_scene
+
+
+def parse_args(argv):
+    param = RendererParam()
+    scene_file = None
+    out_prefix = ""
+    devices = 0
+    overrides = {}
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "-batch":
+            pass  # batch is the only mode
+        elif a == "-spp":
+            i += 1
+            param.spp_max = param.spp_min = int(argv[i])
+        elif a == "-sppMin":
+            i += 1
+            param.spp_min = int(argv[i])
+        elif a == "-sppMax":
+            # NOTE: reference main.cpp:34 actually writes sppMin here (bug);
+            # we implement the intent.
+            i += 1
+            param.spp_max = int(argv[i])
+        elif a == "-bounce":
+            i += 1
+            param.max_bounce = int(argv[i])
+        elif a == "-srgb":
+            i += 1
+            param.use_srgb = int(argv[i]) != 0
+        elif a == "-threads":
+            i += 1  # accepted for compatibility; TPU lanes replace threads
+        elif a == "-use-photon-map":
+            param.use_photon_map = True
+        elif a == "-photon-map-size":
+            i += 1
+            param.photon_map_size = int(argv[i])
+        elif a == "-caustics-map-size":
+            i += 1
+            param.caustics_map_size = int(argv[i])
+        elif a == "-integrator":
+            i += 1
+            param.integrator = argv[i]
+        elif a == "-seed":
+            i += 1
+            param.seed = int(argv[i])
+        elif a == "-out":
+            i += 1
+            out_prefix = argv[i]
+        elif a == "-devices":
+            i += 1
+            devices = int(argv[i])
+        elif a == "-platform":
+            # e.g. `-platform cpu` to force CPU when a TPU plugin is
+            # registered (the sitecustomize here pins JAX_PLATFORMS=axon,
+            # so a plain env override is not enough).
+            i += 1
+            import jax
+
+            jax.config.update("jax_platforms", argv[i])
+        elif a == "-res":
+            # TPU-native extra: override render resolution WxH.
+            i += 1
+            w, h = argv[i].lower().split("x")
+            overrides["res"] = (int(w), int(h))
+        else:
+            scene_file = a
+        i += 1
+    return param, scene_file, out_prefix, devices, overrides
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    param, scene_file, out_prefix, devices, overrides = parse_args(argv)
+    if scene_file is None:
+        print("Error: insufficient input", file=sys.stderr)
+        return -1
+
+    try:
+        scene = load_scene(scene_file)
+    except (OSError, ValueError) as e:
+        # Reference prints 'Failed to load the file "..."' (xmlload.cpp:75).
+        print(f'Failed to load the file "{scene_file}": {e}', file=sys.stderr)
+        return -1
+    if "res" in overrides:
+        scene.camera.img_width, scene.camera.img_height = overrides["res"]
+    renderer = Renderer(param)
+    renderer.compute_scene(scene)
+
+    def progress(done, total):
+        print(f"progress: {done}/{total} spp", flush=True)
+
+    renderer.set_progress_callback(progress)
+
+    t0 = time.time()
+    fb = renderer.render()
+    print(f"\nElapsed Time is {time.time() - t0:f} s")
+
+    # Output names follow Renderer_GUI::CleanRender (Renderer_GUI.cpp:65-73).
+    fb.save_image(out_prefix + "colorBuffer.png")
+    fb.save_z_image(out_prefix + "depthBuffer.png")
+    fb.save_sample_count_image(out_prefix + "sampleBuffer.png")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,422 @@
+"""Wavefront integrator engine.
+
+The reference shades each pixel with recursive virtual `Material::Shade`
+calls (e.g. MtlBlinn_PhotonMap.cpp:256-500). On TPU we re-express the same
+estimators as a *wavefront*: a megabatch of B rays advances through bounce
+iterations in lock-step; recursion becomes an unrolled loop carrying
+path throughput `beta`, with masked lanes for dead paths. The radiance
+decomposition is exact:
+
+    L = sum_k beta_k * (emission_k + direct_k [+ gather_k]),
+    beta_0 = 1, beta_{k+1} = beta_k * BxDF_k / PDF_k           (single path)
+
+which matches the reference's `color += incoming * BxDF / PDF` recursion in
+expectation, bounce-for-bounce.
+
+Two single-path shading models are provided:
+- "photonmap": MtlBlinn_PhotonMap::Shade semantics (the reference's default
+  `MtlBlinn` alias, materials/materials.h:57) including its quirks: luma-
+  weighted 4-way lobe select with kill=0.1 whose selection probability is
+  NOT divided out (biased, as in the reference Shade), one-bounce diffuse GI
+  gating via hasDiffuseHit, absorption applied to back-face continuations.
+- "pathtrace": MtlBlinn_PathTracing::Shade semantics: colorMax-weighted
+  4-lobe RR *with* probability division, double 1/numLights direct quirk,
+  cosine-lobe glossy sampling, no absorption (dead code in the reference).
+
+Bounce 0 misses shade from the screen-space background; deeper misses from
+the environment map (renderer.cpp:335-339 vs Shade's SampleEnvironment).
+"""
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from qaray_tpu.core import rng as RNG
+from qaray_tpu.core.constants import (
+    BIGFLOAT,
+    COLOR_LUMA_THRESHOLD,
+    PHOTON_KILL,
+)
+from qaray_tpu.core.halton import halton
+from qaray_tpu.core.vecmath import dot, luma, normalize, to_local_frame
+from qaray_tpu.core.warps import concentric_disc, cos_weighted_hemisphere
+from qaray_tpu.integrators import common as C
+from qaray_tpu.ops.texture import sample_background, sample_environment
+from qaray_tpu.ops.trace import trace_closest
+from qaray_tpu.scene.arrays import SceneArrays, SceneMeta
+
+
+class IntegratorConfig(NamedTuple):
+    """Static (hashable) integrator configuration.
+
+    The reference selects the shading model at compile time
+    (materials/materials.h:57-61); here it is a runtime config.
+    """
+
+    integrator: str = "photonmap"
+    max_bounce: int = 5  # Material::maxBounce (CLI -bounce)
+    shadow_spp: int = 16  # GenLight::shadow_spp_min (adaptive 16..64 in ref)
+    inverse_square_falloff: bool = True  # disabled by Basic/Phong ctors
+    use_photon_map: bool = False
+    glossy_attempts: int = 4
+    mc_samples: int = 10  # MtlBlinn_MonteCarloGI maxMCSample
+
+
+# ---------------------------------------------------------------------------
+# Camera ray generation (reference renderer.cpp:302-327)
+# ---------------------------------------------------------------------------
+
+
+def generate_camera_rays(scene: SceneArrays, meta: SceneMeta, cfg, px, py,
+                         sample_ids, keys):
+    """px, py: [B] pixel integer coords; sample_ids: [B] sample indices.
+
+    Sub-pixel jitter is Halton(s, 11), Halton(s, 13) — identical for every
+    pixel at a given sample index, as in SuperSamplerHalton::NewPixelSample
+    (scene/scene.cpp:99-102).
+    """
+    cam = scene.camera
+    jx = halton(sample_ids, 11)
+    jy = halton(sample_ids, 13)
+    tx = px.astype(jnp.float32) + jx
+    ty = py.astype(jnp.float32) + jy
+    cpt = cam.screen_a[None, :] + tx[:, None] * cam.screen_u[None, :] \
+        + ty[:, None] * cam.screen_v[None, :]
+    campos = jnp.broadcast_to(cam.pos, cpt.shape)
+    if meta.has_dof:
+        u = RNG.uniform(RNG.fold(keys, RNG.P_DOF), (2,))
+        lens = concentric_disc(u, cam.dof)
+        campos = campos + lens[:, 0:1] * cam.screen_x[None, :] \
+            + lens[:, 1:2] * cam.screen_y[None, :]
+    d = normalize(cpt - campos)
+    return campos, d, tx, ty
+
+
+# ---------------------------------------------------------------------------
+# Lobe sampling helpers
+# ---------------------------------------------------------------------------
+
+
+def _color_max(c):
+    return jnp.max(c, axis=-1)
+
+
+def _photonmap_vertex(scene, meta, cfg, hits, mtl, v, keys, has_diffuse_hit,
+                      bounce_remaining, photon_maps=None):
+    """One vertex of MtlBlinn_PhotonMap::Shade. Returns vertex outputs."""
+    n = hits["n"]
+    p = hits["p"]
+    front = hits["front"]
+
+    fr = C.compute_fresnel(n, v, front, mtl.ior)
+    t_k = mtl.refraction
+    r_k = mtl.reflection
+    tot = fr.total_reflection[:, None]
+    sample_transmission = jnp.where(tot, 0.0, t_k * fr.t_ratio[:, None])
+    sample_reflection = jnp.where(tot, r_k + t_k, r_k + t_k * fr.r_ratio[:, None])
+
+    luma_t = luma(sample_transmission)
+    luma_r = luma(sample_reflection)
+    luma_d = luma(mtl.diffuse)
+
+    # RandomSelectMtl (MtlBlinn_PhotonMap.cpp:107-150).
+    r = RNG.uniform(RNG.fold(keys, RNG.P_LOBE_SELECT))
+    coef_t = luma_t
+    coef_r = coef_t + luma_r
+    coef_d = coef_r + luma_d
+    coef_sum = coef_d + PHOTON_KILL
+    select = r * coef_sum
+    sel_transmit = (select < coef_t) & (luma_t > COLOR_LUMA_THRESHOLD)
+    sel_reflect = (~sel_transmit) & (select < coef_r) & (luma_r > COLOR_LUMA_THRESHOLD)
+    sel_diffuse = (
+        (~sel_transmit) & (~sel_reflect) & (select < coef_d)
+        & (luma_d > COLOR_LUMA_THRESHOLD)
+    )
+
+    # Direct lighting: always, ambient skipped, 1/L normalization.
+    direct = C.blinn_direct(
+        scene, meta, cfg, p, n, v, mtl.diffuse, mtl.specular, mtl.glossiness,
+        keys, skip_ambient=True, norm_power=1,
+    )
+
+    vertex_color = mtl.emission + direct
+
+    # Photon / caustics gathering (photon-map mode).
+    if cfg.use_photon_map and photon_maps is not None:
+        from qaray_tpu.photon.gather import gather_blinn
+
+        gmap, cmap = photon_maps
+        do_photon = sel_diffuse & has_diffuse_hit
+        do_caustics = sel_diffuse
+        gi = gather_blinn(gmap, p, n, v, mtl.diffuse, mtl.specular, mtl.glossiness)
+        ci = gather_blinn(cmap, p, n, v, mtl.diffuse, mtl.specular, mtl.glossiness)
+        vertex_color = vertex_color + jnp.where(do_photon[:, None], gi, 0.0)
+        vertex_color = vertex_color + jnp.where(do_caustics[:, None], ci, 0.0)
+        # Diffuse MC bounce happens only at first-diffuse vertices.
+        do_diffuse_mc = sel_diffuse & (~has_diffuse_hit)
+    else:
+        do_diffuse_mc = sel_diffuse & (~has_diffuse_hit)
+
+    # ---- continuation sampling ----
+    ks = RNG.fold(keys, RNG.P_LOBE_SAMPLE)
+
+    # Reflection: glossy jitter or mirror (SampleReflectionBxDF).
+    refl_glossy = mtl.reflection_glossiness > 0.0
+    refl_dir_g = C.glossy_jitter_dir(
+        fr.r_dir, fr.y_axis, mtl.reflection_glossiness,
+        RNG.fold(ks, 11), want_up=True, attempts=cfg.glossy_attempts,
+    )
+    refl_dir = jnp.where(refl_glossy[:, None], refl_dir_g, fr.r_dir)
+
+    # Transmission: glossy jitter or refract (SampleTransmitBxDF).
+    refr_glossy = mtl.refraction_glossiness > 0.0
+    trans_dir_g = C.glossy_jitter_dir(
+        fr.t_dir, fr.y_axis, mtl.refraction_glossiness,
+        RNG.fold(ks, 12), want_up=False, attempts=cfg.glossy_attempts,
+    )
+    trans_dir = jnp.where(refr_glossy[:, None], trans_dir_g, fr.t_dir)
+
+    # Diffuse: cosine hemisphere around N (SampleDiffuseBxDF, photonMap=False).
+    u = RNG.uniform(RNG.fold(ks, 13), (2,))
+    diff_dir = to_local_frame(n, cos_weighted_hemisphere(u))
+    h = normalize(v + normalize(diff_dir, eps=1e-30), eps=1e-30)
+    cos_nh = jnp.maximum(0.0, dot(n, h))
+    diff_bxdf = mtl.diffuse + mtl.specular * jnp.power(cos_nh, mtl.glossiness)[:, None]
+
+    can_bounce = bounce_remaining > 0
+    go_reflect = sel_reflect & (luma_r > COLOR_LUMA_THRESHOLD) & can_bounce
+    go_transmit = sel_transmit & (luma_t > COLOR_LUMA_THRESHOLD) & can_bounce
+    go_diffuse = (
+        do_diffuse_mc & (luma_d > COLOR_LUMA_THRESHOLD) & front & can_bounce
+    )
+
+    new_dir = jnp.where(
+        go_transmit[:, None],
+        trans_dir,
+        jnp.where(go_diffuse[:, None], diff_dir, refl_dir),
+    )
+    weight = jnp.where(
+        go_transmit[:, None],
+        sample_transmission,
+        jnp.where(go_diffuse[:, None], diff_bxdf, sample_reflection),
+    )
+    alive = go_reflect | go_transmit | go_diffuse
+    # Reflect/transmit continuations reset hasDiffuseHit (ComputeSecondaryRay
+    # default arg, MtlBlinn_PhotonMap.h:139); diffuse sets it.
+    new_has_diffuse = go_diffuse
+    pending_absorption = mtl.absorption
+    return vertex_color, new_dir, weight, alive, new_has_diffuse, pending_absorption
+
+
+def _pathtrace_vertex(scene, meta, cfg, hits, mtl, v, keys, has_diffuse_hit,
+                      bounce_remaining, photon_maps=None):
+    """One vertex of MtlBlinn_PathTracing::Shade (MtlBlinn_PathTracing.cpp:69-300)."""
+    n = normalize(hits["n"], eps=1e-30)
+    p = hits["p"]
+    front = hits["front"]
+
+    fr = C.compute_fresnel(n, v, front, mtl.ior)
+    t_k = mtl.refraction
+    r_k = mtl.reflection
+    tot = fr.total_reflection[:, None]
+    sample_refraction = jnp.where(tot, 0.0, t_k * fr.t_ratio[:, None])
+    sample_reflection = jnp.where(tot, r_k + t_k, r_k + t_k * fr.r_ratio[:, None])
+
+    coef_refraction = _color_max(sample_refraction)
+    coef_reflection = _color_max(sample_reflection)
+    coef_specular = _color_max(mtl.specular)
+    coef_diffuse = _color_max(mtl.diffuse)
+    coef_sum = coef_refraction + coef_reflection + coef_specular + coef_diffuse
+    coef_sum = jnp.maximum(coef_sum, 1e-20)
+    c_refr = coef_refraction / coef_sum
+    c_refl = coef_reflection / coef_sum
+    c_spec = coef_specular / coef_sum
+    c_diff = coef_diffuse / coef_sum
+    sum_refr = c_refr
+    sum_refl = sum_refr + c_refl
+    sum_spec = sum_refl + c_spec
+
+    select = RNG.uniform(RNG.fold(keys, RNG.P_LOBE_SELECT))
+    sel_refr = (select <= sum_refr) & (c_refr > 1e-6)
+    sel_refl = (~sel_refr) & (select < sum_refl) & (c_refl > 1e-6)
+    sel_spec = (~sel_refr) & (~sel_refl) & (select < sum_spec) & (c_spec > 1e-6)
+    sel_diff = (~sel_refr) & (~sel_refl) & (~sel_spec) & (c_diff > 1e-6)
+
+    # Direct: double-normalized quirk (normCoefDI applied twice).
+    direct = C.blinn_direct(
+        scene, meta, cfg, p, n, v, mtl.diffuse, mtl.specular, mtl.glossiness,
+        keys, skip_ambient=True, norm_power=2,
+    )
+    vertex_color = mtl.emission + direct
+
+    # Hemisphere frame around nZ = Y (faceforwarded normal), built with the
+    # reference's branch (MtlBlinn_PathTracing.cpp:182-186).
+    nz = fr.y_axis
+    u = RNG.uniform(RNG.fold(keys, RNG.P_LOBE_SAMPLE), (2,))
+    hemi = normalize(cos_weighted_hemisphere(u), eps=1e-30)
+    hemi_world = to_local_frame(nz, hemi)
+
+    refr_glossy = mtl.refraction_glossiness > 0.0
+    refl_glossy = mtl.reflection_glossiness > 0.0
+
+    # Refraction lobe.
+    refr_dir = jnp.where(refr_glossy[:, None], -hemi_world, fr.t_dir)
+    cos_vh_t = jnp.maximum(0.0, dot(v, fr.t_dir))
+    refr_bxdf = jnp.where(
+        refr_glossy[:, None],
+        sample_refraction
+        * jnp.power(cos_vh_t, mtl.refraction_glossiness)[:, None],
+        sample_refraction,
+    )
+
+    # Reflection lobe.
+    refl_dir = jnp.where(refl_glossy[:, None], hemi_world, fr.r_dir)
+    cos_vh_r = jnp.maximum(0.0, dot(v, fr.r_dir))
+    refl_bxdf = jnp.where(
+        refl_glossy[:, None],
+        sample_reflection
+        * jnp.power(cos_vh_r, mtl.reflection_glossiness)[:, None],
+        sample_reflection,
+    )
+
+    # Specular lobe (front hits only; glossiness > 0 always true in practice).
+    spec_dir = hemi_world
+    h = normalize(v + normalize(spec_dir, eps=1e-30), eps=1e-30)
+    cos_nh = jnp.maximum(0.0, dot(n, h))
+    spec_bxdf = mtl.specular * jnp.power(cos_nh, mtl.glossiness)[:, None]
+
+    # Diffuse lobe (front hits only).
+    diff_dir = hemi_world
+    diff_bxdf = mtl.diffuse
+
+    can_bounce = bounce_remaining > 0
+    go_refr = sel_refr & can_bounce
+    go_refl = sel_refl & can_bounce
+    go_spec = sel_spec & front & can_bounce
+    go_diff = sel_diff & front & can_bounce
+
+    new_dir = jnp.where(
+        go_refr[:, None],
+        refr_dir,
+        jnp.where(
+            go_refl[:, None],
+            refl_dir,
+            jnp.where(go_spec[:, None], spec_dir, diff_dir),
+        ),
+    )
+    pdf = jnp.where(
+        go_refr,
+        c_refr,
+        jnp.where(go_refl, c_refl, jnp.where(go_spec, c_spec, c_diff)),
+    )
+    bxdf = jnp.where(
+        go_refr[:, None],
+        refr_bxdf,
+        jnp.where(
+            go_refl[:, None],
+            refl_bxdf,
+            jnp.where(go_spec[:, None], spec_bxdf, diff_bxdf),
+        ),
+    )
+    weight = bxdf / jnp.maximum(pdf, 1e-20)[:, None]
+    alive = go_refr | go_refl | go_spec | go_diff
+    # PathTracing applies no absorption on continuations (reference dead code:
+    # `incoming` is overwritten after the attenuation multiply,
+    # MtlBlinn_PathTracing.cpp:284-291).
+    pending_absorption = jnp.zeros_like(mtl.absorption)
+    return vertex_color, new_dir, weight, alive, has_diffuse_hit, pending_absorption
+
+
+_VERTEX_FNS = {
+    "photonmap": _photonmap_vertex,
+    "pathtrace": _pathtrace_vertex,
+}
+
+
+# ---------------------------------------------------------------------------
+# The wavefront loop
+# ---------------------------------------------------------------------------
+
+
+def integrate(scene: SceneArrays, meta: SceneMeta, cfg: IntegratorConfig,
+              p, d, ray_keys, screen_uv=None, photon_maps=None):
+    """Trace B primary rays to full radiance. Returns (radiance [B,3], t0 [B])."""
+    vertex_fn = _VERTEX_FNS[cfg.integrator]
+    num = p.shape[0]
+
+    radiance = jnp.zeros((num, 3), jnp.float32)
+    beta = jnp.ones((num, 3), jnp.float32)
+    alive = jnp.ones((num,), bool)
+    has_diffuse_hit = jnp.zeros((num,), bool)
+    pending_absorption = jnp.zeros((num, 3), jnp.float32)
+    t0 = jnp.full((num,), BIGFLOAT, jnp.float32)
+
+    for bounce in range(cfg.max_bounce + 1):
+        hits = trace_closest(scene, meta, p, d)
+        hit = hits["hit"] & alive
+        miss = (~hits["hit"]) & alive
+
+        if bounce == 0:
+            t0 = jnp.where(hits["hit"], hits["t"], BIGFLOAT)
+            if screen_uv is not None:
+                bg = sample_background(scene.textures, scene.background, screen_uv)
+            else:
+                bg = jnp.broadcast_to(scene.background.color, (num, 3))
+            radiance = radiance + jnp.where(miss[:, None], beta * bg, 0.0)
+        else:
+            env = sample_environment(scene.textures, scene.environment, d)
+            radiance = radiance + jnp.where(miss[:, None], beta * env, 0.0)
+
+        alive = hit
+        # Back-face continuation absorption (ComputeSecondaryRay,
+        # MtlBlinn_PhotonMap.cpp:246-249): Beer attenuation with the parent
+        # vertex's absorption over the traveled distance.
+        att = jnp.exp(-pending_absorption * hits["t"][:, None])
+        beta = jnp.where((hit & ~hits["front"])[:, None], beta * att, beta)
+
+        mtl = C.gather_materials(scene, hits["mtl"], hits["uvw"], hits["has_texture"])
+        v = -d  # unit: d is normalized
+        keys = RNG.fold(ray_keys, 1000 + bounce)
+        bounce_remaining = jnp.full((num,), cfg.max_bounce - bounce, jnp.int32)
+
+        vertex_color, new_dir, weight, cont, new_hdh, pend_abs = vertex_fn(
+            scene, meta, cfg, hits, mtl, v, keys, has_diffuse_hit,
+            bounce_remaining, photon_maps,
+        )
+        radiance = radiance + jnp.where(alive[:, None], beta * vertex_color, 0.0)
+
+        if bounce == cfg.max_bounce:
+            break
+        alive = alive & cont
+        beta = jnp.where(alive[:, None], beta * weight, beta)
+        has_diffuse_hit = jnp.where(alive, new_hdh, has_diffuse_hit)
+        pending_absorption = pend_abs
+        p = hits["p"]
+        d = normalize(new_dir, eps=1e-30)
+
+    return radiance, t0
+
+
+@partial(jax.jit, static_argnames=("meta", "cfg"))
+def render_batch(scene: SceneArrays, meta: SceneMeta, cfg: IntegratorConfig,
+                 px, py, sample_ids, base_key, photon_maps=None):
+    """Render one sample for each (px, py) pixel lane.
+
+    Returns (radiance [B,3], depth [B]). Deterministic in
+    (base_key, pixel coords, sample_ids) — independent of batch split or
+    device sharding.
+    """
+    ray_ids = py * meta.img_width + px
+    keys = RNG.ray_keys(base_key, ray_ids * 65536 + sample_ids)
+    campos, d, tx, ty = generate_camera_rays(
+        scene, meta, cfg, px, py, sample_ids, keys
+    )
+    screen_uv = jnp.stack(
+        [tx / meta.img_width, ty / meta.img_height, jnp.zeros_like(tx)], axis=-1
+    )
+    radiance, t0 = integrate(
+        scene, meta, cfg, campos, d, keys, screen_uv, photon_maps
+    )
+    return radiance, t0

@@ -1,0 +1,169 @@
+"""Scene-level closest-hit and any-hit tracing over a ray megabatch.
+
+Replaces the reference's recursive node-tree walk (Scene::TraceNodeNormal /
+TraceNodeShadow, scene/scene.cpp:35-76): analytic primitives are tested as
+one [B, P] vectorized pass, mesh instances via the shared BVH, and results
+are merged by distance. The `t` parametrization is world-space for all
+primitives (transform baking keeps it consistent; see ops/intersect.py).
+
+Hit record (dict of [B]-shaped arrays):
+    t         world-space hit distance (BIGFLOAT if miss)
+    hit       bool
+    p         world hit position
+    n         world shading normal (normalized)
+    uvw       texture coordinates
+    front     front-face flag
+    mtl       material table index
+    has_texture  whether uvw is meaningful (mesh faces without UVs -> False)
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from qaray_tpu.core.constants import BIGFLOAT
+from qaray_tpu.core.vecmath import normalize
+from qaray_tpu.ops import intersect as I
+from qaray_tpu.ops.bvh_traverse import traverse_bvh
+from qaray_tpu.scene.arrays import SceneArrays, SceneMeta
+
+
+def _mesh_closest(scene: SceneArrays, meta: SceneMeta, p, d, t_cur):
+    """Closest hit across all mesh instances. Returns (t, inst, tri, bary)."""
+    num_rays = p.shape[0]
+    best_t = t_cur
+    best_inst = jnp.full((num_rays,), -1, jnp.int32)
+    best_tri = jnp.full((num_rays,), -1, jnp.int32)
+    best_bary = jnp.zeros((num_rays, 3), jnp.float32)
+    best_front = jnp.zeros((num_rays,), bool)
+    inst = scene.instances
+    for i in range(meta.num_mesh_instances):
+        m = inst.m_w2o[i]
+        p_obj = (p - inst.t_o2w[i]) @ m.T
+        d_obj = d @ m.T
+        roots = jnp.full((num_rays,), inst.root[i], jnp.int32)
+        t, tri, bary, front = traverse_bvh(
+            p_obj,
+            d_obj,
+            roots,
+            best_t,
+            scene.mesh,
+            stack_size=meta.bvh_depth + 2,
+        )
+        take = (tri >= 0) & (t < best_t)
+        best_t = jnp.where(take, t, best_t)
+        best_inst = jnp.where(take, i, best_inst)
+        best_tri = jnp.where(take, tri, best_tri)
+        best_bary = jnp.where(take[:, None], bary, best_bary)
+        best_front = jnp.where(take, front, best_front)
+    return best_t, best_inst, best_tri, best_bary, best_front
+
+
+def _mesh_hit_attrs(scene: SceneArrays, p, d, t, inst_id, tri_id, bary, front):
+    """Interpolate shading attributes for mesh hits (TriObj::IntersectTriangle)."""
+    inst = scene.instances
+    mesh = scene.mesh
+    safe_inst = jnp.maximum(inst_id, 0)
+    safe_tri = jnp.maximum(tri_id, 0)
+    m = inst.m_w2o[safe_inst]  # [B,3,3]
+
+    n_corners = mesh.tri_n[safe_tri]  # [B,3,3]
+    n_obj = jnp.einsum("bk,bki->bi", bary, n_corners)
+    n_world = normalize(jnp.einsum("bji,bj->bi", m, n_obj), eps=1e-30)
+
+    uv_corners = mesh.tri_uv[safe_tri]  # [B,3,2]
+    uv = jnp.einsum("bk,bki->bi", bary, uv_corners)
+    uvw = jnp.concatenate([uv, jnp.zeros_like(uv[:, :1])], axis=-1)
+
+    # Material: instance override, or per-face sub-material (MultiMtl).
+    face_mtl = mesh.tri_mtl[safe_tri]
+    sub = inst.mtl_base[safe_inst] + jnp.clip(
+        face_mtl, 0, jnp.maximum(inst.num_sub_mtl[safe_inst] - 1, 0)
+    )
+    mtl = jnp.where(inst.mtl[safe_inst] >= 0, inst.mtl[safe_inst], sub)
+
+    return {
+        "p": p + t[:, None] * d,
+        "n": n_world,
+        "uvw": uvw,
+        "front": front,
+        "mtl": mtl.astype(jnp.int32),
+        "has_texture": mesh.tri_has_uv[safe_tri],
+    }
+
+
+@partial(jax.jit, static_argnames=("meta",))
+def trace_closest(scene: SceneArrays, meta: SceneMeta, p, d):
+    """Closest-hit trace of B world-space rays."""
+    num_rays = p.shape[0]
+
+    if meta.num_analytic > 0:
+        t_a, prim_idx = I.closest_analytic(p, d, scene.analytic)
+    else:
+        t_a = jnp.full((num_rays,), BIGFLOAT)
+        prim_idx = jnp.zeros((num_rays,), jnp.int32)
+
+    if meta.num_mesh_instances > 0:
+        t_m, inst_id, tri_id, bary, front_m = _mesh_closest(scene, meta, p, d, t_a)
+    else:
+        t_m = jnp.full((num_rays,), BIGFLOAT)
+        inst_id = tri_id = jnp.full((num_rays,), -1, jnp.int32)
+        bary = jnp.zeros((num_rays, 3), jnp.float32)
+        front_m = jnp.zeros((num_rays,), bool)
+
+    # Mesh pass pruned against t_a, so a valid mesh hit is closer by design.
+    use_mesh = tri_id >= 0
+    t = jnp.where(use_mesh, t_m, t_a)
+    hit = t < BIGFLOAT
+
+    attrs_a = I.analytic_hit_attrs(p, d, t, prim_idx, scene.analytic)
+    if meta.num_mesh_instances > 0:
+        attrs_m = _mesh_hit_attrs(scene, p, d, t, inst_id, tri_id, bary, front_m)
+        sel = lambda a, b: jnp.where(
+            use_mesh.reshape((-1,) + (1,) * (a.ndim - 1)), b, a
+        )
+        attrs = {k: sel(attrs_a[k], attrs_m[k]) for k in attrs_a}
+    else:
+        attrs = attrs_a
+
+    attrs["t"] = t
+    attrs["hit"] = hit
+    return attrs
+
+
+@partial(jax.jit, static_argnames=("meta",))
+def trace_shadow(scene: SceneArrays, meta: SceneMeta, p, d, t_max):
+    """Any-hit occlusion test; True where something blocks within t_max.
+
+    Matches GenLight::Shadow semantics (lights/lights.cpp:39-48): both hit
+    sides count, hits must satisfy BIAS < t < t_max.
+    """
+    num_rays = p.shape[0]
+    occluded = jnp.zeros((num_rays,), bool)
+
+    if meta.num_analytic > 0:
+        t_all = I.intersect_analytic_t(p, d, scene.analytic)  # [B, P]
+        occluded |= jnp.any(t_all < t_max[:, None], axis=-1)
+
+    if meta.num_mesh_instances > 0:
+        inst = scene.instances
+        for i in range(meta.num_mesh_instances):
+            m = inst.m_w2o[i]
+            p_obj = (p - inst.t_o2w[i]) @ m.T
+            d_obj = d @ m.T
+            roots = jnp.full((num_rays,), inst.root[i], jnp.int32)
+            # Skip lanes already occluded by zeroing their budget.
+            budget = jnp.where(occluded, 0.0, t_max)
+            t, tri, _, _ = traverse_bvh(
+                p_obj,
+                d_obj,
+                roots,
+                budget,
+                scene.mesh,
+                stack_size=meta.bvh_depth + 2,
+                any_hit=True,
+            )
+            occluded |= (tri >= 0) & (t < t_max)
+
+    return occluded

@@ -1,0 +1,172 @@
+"""Renderer: adaptive-supersampling render loop over sample rounds.
+
+The reference renders 4x4 pixel tiles with TBB threads, each pixel running
+its own adaptive sample loop (renderer.cpp:302-423). The TPU-native shape is
+inverted: ALL active pixels advance one sample per device dispatch
+(vectorization replaces threading), and adaptive sampling becomes host-side
+*active-pixel compaction* between rounds — converged pixels leave the batch,
+matching SuperSamplerHalton's stopping rule exactly
+(scene/scene.cpp:92-98: stop when s >= sppMin and channel std <= threshold,
+hard stop at sppMax).
+
+Cooperative cancellation (reference tasking signal_start/stop) maps to a
+host-checked `stop_flag` between dispatches; progress accounting mirrors
+FrameBuffer::IncrementNumRenderPixel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from qaray_tpu.core.constants import BIGFLOAT, SPP_THRESHOLD
+from qaray_tpu.fb.framebuffer import FrameBuffer
+from qaray_tpu.integrators.engine import IntegratorConfig, render_batch
+from qaray_tpu.scene.compiler import compile_scene
+
+
+@dataclasses.dataclass
+class RendererParam:
+    """Mirrors the reference RendererParam defaults (renderer.h:47-68)."""
+
+    use_srgb: bool = True
+    spp_max: int = 8
+    spp_min: int = 4
+    max_bounce: int = 5
+    integrator: str = "photonmap"
+    use_photon_map: bool = False
+    photon_map_size: int = 10000
+    photon_map_bounce: int = 20
+    photon_map_radius: float = 0.2
+    caustics_map_size: int = 1000
+    caustics_map_bounce: int = 20
+    caustics_map_radius: float = 1.0
+    shadow_spp: int = 16
+    threshold: tuple = SPP_THRESHOLD
+    seed: int = 0
+    round_spp: int = 1  # samples per adaptive round after spp_min
+    batch_pixels: int = 1 << 20  # max pixel-lanes per device dispatch
+
+
+def _pad_to_bucket(n: int, minimum: int = 256) -> int:
+    """Round up to a power of two to bound recompilations under compaction."""
+    b = minimum
+    while b < n:
+        b <<= 1
+    return b
+
+
+class Renderer:
+    def __init__(self, param: Optional[RendererParam] = None):
+        self.param = param or RendererParam()
+        self.stop_flag = False
+        self.scene_arrays = None
+        self.meta = None
+        self.fb: Optional[FrameBuffer] = None
+        self.photon_maps = None
+        self._progress_cb: Optional[Callable] = None
+
+    # -- lifecycle (reference Renderer::Init/ComputeScene/Render) -------------
+
+    def compute_scene(self, scene_desc):
+        self.scene_arrays, self.meta = compile_scene(scene_desc)
+        self.fb = FrameBuffer(self.meta.img_width, self.meta.img_height)
+        if self.param.use_photon_map:
+            from qaray_tpu.photon.build import build_photon_maps
+
+            self.photon_maps = build_photon_maps(
+                self.scene_arrays, self.meta, self.param
+            )
+        return self.scene_arrays, self.meta
+
+    def signal_stop(self):
+        self.stop_flag = True
+
+    def set_progress_callback(self, cb):
+        self._progress_cb = cb
+
+    # -- config ---------------------------------------------------------------
+
+    def integrator_config(self) -> IntegratorConfig:
+        p = self.param
+        inv_sq = p.integrator in ("photonmap", "pathtrace", "mcgi")
+        return IntegratorConfig(
+            integrator=p.integrator,
+            max_bounce=p.max_bounce,
+            shadow_spp=p.shadow_spp,
+            inverse_square_falloff=inv_sq,
+            use_photon_map=p.use_photon_map,
+        )
+
+    # -- render loop -----------------------------------------------------------
+
+    def render(self) -> FrameBuffer:
+        assert self.scene_arrays is not None, "call compute_scene() first"
+        p = self.param
+        meta = self.meta
+        cfg = self.integrator_config()
+        fb = self.fb
+        w, h = meta.img_width, meta.img_height
+        num_pixels = w * h
+        base_key = jax.random.PRNGKey(p.seed)
+
+        all_ids = np.arange(num_pixels, dtype=np.int32)
+        start = time.time()
+
+        # Phase 1: spp_min samples for every pixel.
+        for s in range(p.spp_min):
+            if self.stop_flag:
+                return fb
+            self._render_round(cfg, all_ids, s, base_key, record_depth=(s == 0))
+            self._report(s + 1)
+
+        # Phase 2: adaptive refinement until spp_max / convergence,
+        # compacting to the unconverged active set each round.
+        s = p.spp_min
+        while s < p.spp_max:
+            active = all_ids[~fb.converged(p.threshold) & (fb.count == s)]
+            if active.size == 0 or self.stop_flag:
+                break
+            for _ in range(min(p.round_spp, p.spp_max - s)):
+                self._render_round(cfg, active, s, base_key, record_depth=False)
+                s += 1
+                if s >= p.spp_max:
+                    break
+            self._report(s)
+
+        elapsed = time.time() - start
+        self._last_elapsed = elapsed
+        fb.finalize(p.use_srgb, p.spp_max)
+        return fb
+
+    def _render_round(self, cfg, pixel_ids: np.ndarray, sample_idx: int,
+                      base_key, record_depth: bool):
+        """One sample for each pixel id, chunked to the device batch size."""
+        meta = self.meta
+        w = meta.img_width
+        chunk = self.param.batch_pixels
+        for lo in range(0, pixel_ids.size, chunk):
+            ids = pixel_ids[lo : lo + chunk]
+            n = ids.size
+            padded = _pad_to_bucket(n)
+            ids_p = np.zeros(padded, np.int32)
+            ids_p[:n] = ids
+            px = jax.numpy.asarray(ids_p % w)
+            py = jax.numpy.asarray(ids_p // w)
+            sample_ids = jax.numpy.full((padded,), sample_idx, jax.numpy.int32)
+            radiance, t0 = render_batch(
+                self.scene_arrays, meta, cfg, px, py, sample_ids, base_key,
+                self.photon_maps,
+            )
+            radiance = np.asarray(radiance)[:n]
+            self.fb.accumulate(ids, radiance)
+            if record_depth:
+                self.fb.set_depth(ids, np.asarray(t0)[:n])
+
+    def _report(self, spp_done: int):
+        if self._progress_cb is not None:
+            self._progress_cb(spp_done, self.param.spp_max)

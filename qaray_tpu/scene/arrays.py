@@ -1,0 +1,166 @@
+"""Device-resident flattened scene: SoA pytrees consumed by the kernels.
+
+This is the TPU-native replacement for the reference's pointer-based scene
+graph (core/node.h) + virtual dispatch: the node tree is flattened at compile
+time into world-space primitive records with baked affine transforms
+(mirroring Node::ToNodeCoords / FromNodeCoords semantics, core/node.cpp:
+112-139), materials/lights become SoA tables indexed by integer ids, and all
+meshes share concatenated triangle + BVH arrays.
+
+All arrays are float32/int32 jnp arrays => SceneArrays is a jax pytree that
+can be donated, sharded (replicated) and differentiated through.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+# Primitive kinds
+KIND_SPHERE = 0
+KIND_PLANE = 1
+
+# Light kinds
+LIGHT_AMBIENT = 0
+LIGHT_DIRECT = 1
+LIGHT_POINT = 2
+LIGHT_SPOT = 3
+
+# Texture kinds
+TEX_FILE = 0
+TEX_CHECKER = 1
+
+# Texture slots on a material
+SLOT_DIFFUSE = 0
+SLOT_SPECULAR = 1
+SLOT_EMISSION = 2
+SLOT_REFLECTION = 3
+SLOT_REFRACTION = 4
+NUM_SLOTS = 5
+
+
+class AnalyticPrims(NamedTuple):
+    """Unit spheres / unit-square planes instanced by affine transforms.
+
+    p_obj = m_w2o @ (p_world - t_o2w);  dir_obj = m_w2o @ dir_world;
+    N_world = normalize(m_w2o^T @ N_obj)  (core/transform.h:47-61).
+    """
+
+    kind: jnp.ndarray  # [P] int32
+    mtl: jnp.ndarray  # [P] int32
+    m_w2o: jnp.ndarray  # [P, 3, 3] float32
+    t_o2w: jnp.ndarray  # [P, 3] float32
+
+
+class MeshArrays(NamedTuple):
+    """All meshes concatenated; triangle vertex data pre-gathered per face."""
+
+    tri_v: jnp.ndarray  # [F, 3, 3] vertex positions
+    tri_n: jnp.ndarray  # [F, 3, 3] shading normals per corner
+    tri_uv: jnp.ndarray  # [F, 3, 2] texture coords per corner
+    tri_has_uv: jnp.ndarray  # [F] bool
+    tri_mtl: jnp.ndarray  # [F] int32 sub-material id (-1 if none)
+    # Flattened BVH over all meshes (indices already globally offset).
+    bvh_bounds: jnp.ndarray  # [N, 6]
+    bvh_left: jnp.ndarray  # [N] (-1 => leaf)
+    bvh_right: jnp.ndarray  # [N] (child index, or elem offset for leaf)
+    bvh_count: jnp.ndarray  # [N]
+    bvh_elems: jnp.ndarray  # [F] global triangle ids in leaf order
+
+
+class MeshInstances(NamedTuple):
+    root: jnp.ndarray  # [I] int32 BVH root node per instance
+    mtl: jnp.ndarray  # [I] int32 single material (-1 => per-face table)
+    mtl_base: jnp.ndarray  # [I] int32 base offset for per-face materials
+    num_sub_mtl: jnp.ndarray  # [I] int32 number of sub-materials
+    m_w2o: jnp.ndarray  # [I, 3, 3]
+    t_o2w: jnp.ndarray  # [I, 3]
+    obj_bbox: jnp.ndarray  # [I, 6] object-space bound box (prefilter)
+
+
+class MaterialTable(NamedTuple):
+    diffuse: jnp.ndarray  # [M, 3]
+    specular: jnp.ndarray  # [M, 3]
+    emission: jnp.ndarray  # [M, 3]
+    reflection: jnp.ndarray  # [M, 3]
+    refraction: jnp.ndarray  # [M, 3]
+    absorption: jnp.ndarray  # [M, 3]
+    glossiness: jnp.ndarray  # [M]
+    reflection_glossiness: jnp.ndarray  # [M]
+    refraction_glossiness: jnp.ndarray  # [M]
+    ior: jnp.ndarray  # [M]
+    tex_id: jnp.ndarray  # [M, NUM_SLOTS] int32 (-1 => no texture)
+    tex_m: jnp.ndarray  # [M, NUM_SLOTS, 3, 3] uvw w2t matrices
+    tex_t: jnp.ndarray  # [M, NUM_SLOTS, 3] uvw transform origins
+
+
+class LightTable(NamedTuple):
+    kind: jnp.ndarray  # [L] int32
+    intensity: jnp.ndarray  # [L, 3]
+    position: jnp.ndarray  # [L, 3]
+    direction: jnp.ndarray  # [L, 3]
+    size: jnp.ndarray  # [L]
+    inner: jnp.ndarray  # [L]
+    outer: jnp.ndarray  # [L]
+
+
+class TextureAtlas(NamedTuple):
+    texels: jnp.ndarray  # [T, 3] flat texel pool
+    offset: jnp.ndarray  # [K] int32
+    width: jnp.ndarray  # [K] int32
+    height: jnp.ndarray  # [K] int32
+    kind: jnp.ndarray  # [K] int32 (TEX_FILE | TEX_CHECKER)
+    color1: jnp.ndarray  # [K, 3] checker colors
+    color2: jnp.ndarray  # [K, 3]
+
+
+class EnvColor(NamedTuple):
+    """TexturedColor for background / environment."""
+
+    color: jnp.ndarray  # [3]
+    tex_id: jnp.ndarray  # [] int32 (-1 => none)
+    tex_m: jnp.ndarray  # [3, 3]
+    tex_t: jnp.ndarray  # [3]
+
+
+class CameraArrays(NamedTuple):
+    """Resolved screen basis (reference renderer.cpp:76-91)."""
+
+    pos: jnp.ndarray  # [3]
+    screen_a: jnp.ndarray  # [3] top-left screen corner
+    screen_u: jnp.ndarray  # [3] per-pixel step right
+    screen_v: jnp.ndarray  # [3] per-pixel step down
+    screen_x: jnp.ndarray  # [3] camera right (DoF basis)
+    screen_y: jnp.ndarray  # [3] camera up (DoF basis)
+    dof: jnp.ndarray  # [] depth of field lens radius
+
+
+class SceneArrays(NamedTuple):
+    analytic: AnalyticPrims
+    mesh: MeshArrays
+    instances: MeshInstances
+    materials: MaterialTable
+    lights: LightTable
+    textures: TextureAtlas
+    background: EnvColor
+    environment: EnvColor
+    camera: CameraArrays
+
+
+class SceneMeta(NamedTuple):
+    """Static (hashable) facts about the compiled scene, closed over by jit."""
+
+    img_width: int
+    img_height: int
+    num_analytic: int
+    num_mesh_instances: int
+    num_tris: int
+    num_lights: int
+    num_materials: int
+    has_dof: bool
+    bvh_depth: int
+    has_ambient: bool
+    # Per-light static facts (kinds drive which illumination code is traced).
+    light_kinds: tuple = ()  # of LIGHT_* ints
+    light_soft: tuple = ()  # of bools: size > 0.01 => area shadow sampling
