@@ -329,9 +329,174 @@ def _pathtrace_vertex(scene, meta, cfg, hits, mtl, v, keys, has_diffuse_hit,
     return vertex_color, new_dir, weight, alive, has_diffuse_hit, pending_absorption
 
 
+def _basic_family_vertex(scene, meta, cfg, hits, mtl, v, keys, has_diffuse_hit,
+                         bounce_remaining, photon_maps=None, phong=False,
+                         mcgi=False):
+    """Whitted-family vertex: MtlBlinn_Basic / MtlPhong_Basic /
+    MtlBlinn_MonteCarloGI (materials/MtlBlinn_Basic.cpp:30-185,
+    MtlPhong_Basic.cpp, MtlBlinn_MonteCarloGI.cpp).
+
+    The reference recurses into BOTH refraction and reflection children
+    (branching factor 2; MC-GI adds N diffuse GI samples). A branching tree
+    does not fit a fixed-width wavefront, so this re-expression picks ONE
+    child per vertex by russian roulette proportional to child luma and
+    reweights by the selection probability — identical in expectation, with
+    the variance absorbed by spp (documented deviation; golden parity uses
+    the reference's own default photonmap model which is already one-path).
+    """
+    from qaray_tpu.core.constants import (
+        REFLECTION_COLOR_THRESHOLD,
+        REFRACTION_COLOR_THRESHOLD,
+    )
+
+    n = normalize(hits["n"], eps=1e-30)
+    p = hits["p"]
+    front = hits["front"]
+
+    # Frame (MtlBlinn_Basic.cpp:49-50): X = norm((N x V) x N), Y = norm(N(N.V)).
+    from qaray_tpu.core.vecmath import cross, vdot
+
+    x_axis = normalize(cross(cross(n, v), n), eps=1e-30)
+    ndotv = dot(n, v)
+    y_axis = n * jnp.sign(ndotv)[:, None]
+
+    # Glossy normal jitter with the reference's quirk ball
+    # (MtlBlinn_Basic.cpp:58-66; radius is the raw glossiness value).
+    from qaray_tpu.core.warps import uniform_ball_ref
+
+    refr_glossy = mtl.refraction_glossiness > 0.001
+    refl_glossy = mtl.reflection_glossiness > 0.001
+    kb = RNG.fold(keys, RNG.P_GLOSSY)
+    u_t = RNG.uniform(RNG.fold(kb, 0), (4, 2))
+    u_r = RNG.uniform(RNG.fold(kb, 1), (4, 2))
+    tj = normalize(
+        n + uniform_ball_ref(u_t, mtl.refraction_glossiness), eps=1e-30
+    )
+    rj = normalize(
+        n + uniform_ball_ref(u_r, mtl.reflection_glossiness), eps=1e-30
+    )
+    tjn = jnp.where(refr_glossy[:, None], tj, n)
+    rjn = jnp.where(refl_glossy[:, None], rj, n)
+
+    n_ior = jnp.where(front, 1.0 / mtl.ior, mtl.ior)
+    cos_i = dot(tjn, v)
+    sin_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_i * cos_i))
+    sin_o = jnp.clip(sin_i * n_ior, 0.0, 1.0)
+    cos_o = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_o * sin_o))
+    t_dir = -x_axis * sin_o[:, None] - y_axis * cos_o[:, None]
+    r_dir = 2.0 * rjn * vdot(rjn, v) - v
+
+    c0 = (n_ior - 1.0) ** 2 / (n_ior + 1.0) ** 2
+    r_c = c0 + (1.0 - c0) * jnp.power(1.0 - jnp.abs(cos_i), 5.0)
+    t_c = 1.0 - r_c
+    tot = ((n_ior * sin_i) > 1.001)[:, None]
+    t_k = jnp.where(tot, 0.0, mtl.refraction * t_c[:, None])
+    r_k = jnp.where(
+        tot, mtl.reflection + mtl.refraction,
+        mtl.reflection + mtl.refraction * r_c[:, None],
+    )
+
+    # Direct lighting: front hits only, ambient included, no normalization.
+    zero = jnp.zeros_like(p)
+    if phong:
+        direct = _phong_direct(scene, meta, cfg, p, n, v, mtl, keys)
+    else:
+        direct = C.blinn_direct(
+            scene, meta, cfg, p, n, v, mtl.diffuse, mtl.specular,
+            mtl.glossiness, keys, skip_ambient=False, norm_power=0,
+        )
+    vertex_color = jnp.where(front[:, None], direct, zero)
+
+    # Children.
+    can_bounce = bounce_remaining > 0
+    spawn_t = (jnp.max(t_k, axis=-1) > REFRACTION_COLOR_THRESHOLD) & can_bounce
+    spawn_r = (jnp.max(r_k, axis=-1) > REFLECTION_COLOR_THRESHOLD) & can_bounce
+
+    if mcgi:
+        u = RNG.uniform(RNG.fold(keys, RNG.P_LOBE_SAMPLE), (2,))
+        d_dir = to_local_frame(n, normalize(cos_weighted_hemisphere(u), eps=1e-30))
+        h = normalize(v + d_dir, eps=1e-30)
+        cos_nh = jnp.maximum(0.0, dot(n, h))
+        cos_nl = jnp.maximum(0.0, dot(n, d_dir))
+        # MtlBlinn_MonteCarloGI.cpp:255-260 estimator weight.
+        d_k = (
+            mtl.specular * (cos_nl * jnp.power(cos_nh, mtl.glossiness))[:, None]
+            + mtl.diffuse
+        )
+        spawn_d = front & can_bounce & (luma(mtl.diffuse) > 1e-6)
+    else:
+        d_dir = r_dir
+        d_k = jnp.zeros_like(p)
+        spawn_d = jnp.zeros_like(front)
+
+    # RR among active children, proportional to child luma.
+    w_t = jnp.where(spawn_t, jnp.maximum(luma(t_k), 1e-6), 0.0)
+    w_r = jnp.where(spawn_r, jnp.maximum(luma(r_k), 1e-6), 0.0)
+    w_d = jnp.where(spawn_d, jnp.maximum(luma(d_k), 1e-6), 0.0)
+    w_sum = w_t + w_r + w_d
+    any_child = w_sum > 0.0
+    r = RNG.uniform(RNG.fold(keys, RNG.P_LOBE_SELECT)) * jnp.maximum(w_sum, 1e-30)
+    pick_t = any_child & (r < w_t)
+    pick_r = any_child & (~pick_t) & (r < w_t + w_r)
+    pick_d = any_child & (~pick_t) & (~pick_r)
+    prob = jnp.where(
+        pick_t, w_t, jnp.where(pick_r, w_r, w_d)
+    ) / jnp.maximum(w_sum, 1e-30)
+
+    new_dir = jnp.where(
+        pick_t[:, None], t_dir, jnp.where(pick_r[:, None], r_dir, d_dir)
+    )
+    weight = jnp.where(
+        pick_t[:, None], t_k, jnp.where(pick_r[:, None], r_k, d_k)
+    ) / jnp.maximum(prob, 1e-30)[:, None]
+    alive = any_child
+    pending_absorption = mtl.absorption
+    return vertex_color, new_dir, weight, alive, has_diffuse_hit, pending_absorption
+
+
+def _phong_direct(scene, meta, cfg, p, n, v, mtl, keys):
+    """Phong direct lighting (MtlPhong_Basic.cpp:169-183): specular uses
+    (V.R)^gloss with R the reflected light direction, no cosNL on the
+    specular term, ambient contributes diffuse * I."""
+    from qaray_tpu.scene.arrays import LIGHT_AMBIENT
+
+    total = jnp.zeros_like(p)
+    for li in range(meta.num_lights):
+        if meta.light_kinds[li] == LIGHT_AMBIENT:
+            intensity = C.illuminate(scene, meta, cfg, li, p, keys)
+            total = total + mtl.diffuse * intensity
+            continue
+        intensity = C.illuminate(scene, meta, cfg, li, p, keys)
+        l_dir = normalize(-C.light_direction(scene, meta, li, p), eps=1e-30)
+        r_vec = 2.0 * dot(l_dir, n)[:, None] * n - l_dir
+        cos_nl = jnp.maximum(0.0, dot(n, l_dir))
+        cos_vr = jnp.maximum(0.0, dot(v, r_vec))
+        total = total + mtl.diffuse * intensity * cos_nl[:, None]
+        total = total + mtl.specular * intensity * jnp.power(
+            cos_vr, mtl.glossiness
+        )[:, None]
+    return total
+
+
+def _basic_vertex(*args, **kw):
+    return _basic_family_vertex(*args, **kw, phong=False, mcgi=False)
+
+
+def _phong_vertex(*args, **kw):
+    return _basic_family_vertex(*args, **kw, phong=True, mcgi=False)
+
+
+def _mcgi_vertex(*args, **kw):
+    return _basic_family_vertex(*args, **kw, phong=False, mcgi=True)
+
+
 _VERTEX_FNS = {
     "photonmap": _photonmap_vertex,
     "pathtrace": _pathtrace_vertex,
+    "basic": _basic_vertex,
+    "whitted": _basic_vertex,
+    "phong": _phong_vertex,
+    "mcgi": _mcgi_vertex,
 }
 
 

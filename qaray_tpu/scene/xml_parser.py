@@ -220,7 +220,12 @@ class SceneParser:
     # -- materials ------------------------------------------------------------
 
     def _load_material(self, elem):
-        if elem.get("type") != "blinn":
+        # The reference only understands type="blinn" and SEGFAULTS on scenes
+        # whose materials it skips (null-material deref; e.g.
+        # example_project2_phong.xml). We accept "phong" with the same
+        # parameter schema — the shading model is an integrator-level choice
+        # here, not a material-type one.
+        if elem.get("type") not in ("blinn", "phong"):
             return
         m = D.MaterialDesc(name=elem.get("name", ""))
         for child in elem:

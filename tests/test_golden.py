@@ -1,0 +1,75 @@
+"""Golden-image parity vs the reference C++ renderer.
+
+Goldens in tests/goldens/ were produced by the reference build (see
+tools/make_goldens.py) with its default material model (MtlBlinn_PhotonMap,
+usePhotonMap=false) at 200x150. Our photonmap integrator renders the same
+scenes at the same spp; images are compared after 10x10 block-averaging to
+integrate away the independent MC noise of the two renderers (the reference
+RNG is time-seeded; bitwise parity is impossible by design — SURVEY.md §7).
+
+Tolerances are per-scene: diffuse-only scenes converge tightly; glass/glossy
+scenes carry more variance at the golden's spp.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from qaray_tpu.renderer import Renderer, RendererParam
+from qaray_tpu.scene.xml_parser import load_scene
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+CASES = [
+    # (scene, spp, block-mean tolerance)
+    ("example_project2_blinn.xml", 16, 0.015),
+    ("example_project3_box.xml", 16, 0.02),
+    ("example_project3_sphere.xml", 16, 0.02),
+    ("example_project4.xml", 16, 0.02),
+    ("trc_mtl_glass.xml", 32, 0.035),
+    ("trc_mtl_glossy.xml", 32, 0.035),
+    ("trc_mtl_coffee.xml", 32, 0.035),
+]
+
+
+def _load_png(path):
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+
+
+def _block_mean(img, b=10):
+    h, w = img.shape[:2]
+    return img[: h // b * b, : w // b * b].reshape(
+        h // b, b, w // b, b, 3
+    ).mean(axis=(1, 3))
+
+
+def _render_ours(inputs_dir, scene_name, spp):
+    scene = load_scene(f"{inputs_dir}/{scene_name}")
+    scene.camera.img_width = 200
+    scene.camera.img_height = 150
+    p = RendererParam(spp_min=spp, spp_max=spp, integrator="photonmap")
+    r = Renderer(p)
+    r.compute_scene(scene)
+    fb = r.render()
+    return fb.img.reshape(150, 200, 3).astype(np.float32) / 255.0
+
+
+@pytest.mark.parametrize("scene_name,spp,tol", CASES)
+def test_golden_parity(inputs_dir, scene_name, spp, tol):
+    golden_path = os.path.join(
+        GOLDEN_DIR, scene_name.replace(".xml", f"_{spp}spp.png")
+    )
+    if not os.path.exists(golden_path):
+        pytest.skip(f"golden missing: {golden_path}")
+    golden = _load_png(golden_path)
+    ours = _render_ours(inputs_dir, scene_name, spp)
+    diff = np.abs(_block_mean(golden) - _block_mean(ours))
+    mean_diff = diff.mean()
+    p95 = np.percentile(diff, 95)
+    assert mean_diff < tol, (
+        f"{scene_name}: block-mean diff {mean_diff:.4f} (p95 {p95:.4f}) "
+        f"exceeds {tol}"
+    )

@@ -55,6 +55,23 @@ def test_deterministic(inputs_dir):
     np.testing.assert_array_equal(fb1.img, fb2.img)
 
 
+@pytest.mark.parametrize(
+    "integrator,scene_name",
+    [
+        ("basic", "example_project2_blinn.xml"),
+        ("phong", "example_project2_phong.xml"),
+        ("mcgi", "example_project3_box.xml"),
+        ("basic", "trc_mtl_glass.xml"),
+        ("pathtrace", "trc_mtl_glossy.xml"),
+    ],
+)
+def test_all_integrators_finite(inputs_dir, integrator, scene_name):
+    fb = _render(inputs_dir, scene_name, w=60, h=45, integrator=integrator)
+    img = fb.img.reshape(45, 60, 3)
+    assert np.isfinite(img).all()
+    assert img.sum() > 0
+
+
 def test_adaptive_spp_counts(inputs_dir):
     scene = load_scene(f"{inputs_dir}/example_project2_blinn.xml")
     scene.camera.img_width = 40
