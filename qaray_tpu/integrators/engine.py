@@ -144,12 +144,17 @@ def _photonmap_vertex(scene, meta, cfg, hits, mtl, v, keys, has_diffuse_hit,
     vertex_color = mtl.emission + direct
 
     # Photon / caustics gathering (photon-map mode).
+    # Photon-map mode (MtlBlinn_PhotonMap.cpp:344-368, 420-458): at vertices
+    # that selected the diffuse lobe, later-than-first diffuse vertices
+    # gather the global map instead of bouncing; the caustics map is always
+    # gathered. Both gates carry the luma(sampleDiffuse) > threshold guard.
+    diffuse_ok = luma_d > COLOR_LUMA_THRESHOLD
     if cfg.use_photon_map and photon_maps is not None:
         from qaray_tpu.photon.gather import gather_blinn
 
         gmap, cmap = photon_maps
-        do_photon = sel_diffuse & has_diffuse_hit
-        do_caustics = sel_diffuse
+        do_photon = sel_diffuse & has_diffuse_hit & diffuse_ok
+        do_caustics = sel_diffuse & diffuse_ok
         gi = gather_blinn(gmap, p, n, v, mtl.diffuse, mtl.specular, mtl.glossiness)
         ci = gather_blinn(cmap, p, n, v, mtl.diffuse, mtl.specular, mtl.glossiness)
         vertex_color = vertex_color + jnp.where(do_photon[:, None], gi, 0.0)

@@ -1,0 +1,101 @@
+"""Photon irradiance estimation on device.
+
+The reference gathers with a balanced kd-tree kNN (cyPhotonMap.h
+EstimateIrradiance<100>: up to 100 nearest within a radius cap, quadratic
+filter 1 - d^2/r^2, area normalization pi/2 * r^2, and a filter-weighted mean
+photon direction). kd-tree descent is pointer-chasing — hostile to TPU — so
+the TPU-native gather is a *dense chunked sweep*: every query lane scores
+every photon chunk, and the filter-weighted sums become [B,C] x [C,3]
+matmuls that run on the MXU. Photon maps are small (10k default), so the
+sweep is bandwidth-trivial and needs no spatial structure at all.
+
+Deviation from the reference (documented): the <=100-nearest cap is not
+applied — all photons within the radius contribute. The cap only binds in
+regions denser than 100 photons/radius-ball, where the reference's radius
+shrinks; results there are slightly sharper in the reference. Equivalent in
+the usual operating regime of the default map sizes.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from qaray_tpu.core.constants import COLOR_LUMA_THRESHOLD
+from qaray_tpu.core.vecmath import dot, luma, normalize
+
+
+class PhotonMapData(NamedTuple):
+    pos: jnp.ndarray  # [P, 3]
+    power: jnp.ndarray  # [P, 3] RGB power (already 1/numEmitted scaled)
+    max_power: jnp.ndarray  # [P] max component (direction weighting)
+    direction: jnp.ndarray  # [P, 3] incoming photon direction
+    radius: jnp.ndarray  # [] gather radius
+    valid: jnp.ndarray  # [P] bool (padding mask)
+
+
+def estimate_irradiance(pmap: PhotonMapData, p, chunk: int = 512):
+    """Quadratic-filtered irradiance + mean direction at query points p [B,3].
+
+    Port of cyPhotonMap::EstimateIrradiance (FILTER_TYPE_QUADRATIC):
+        irrad = sum_i (1 - d_i^2/r^2) * power_i / (pi/2 * r^2)
+        dir   = normalize(sum_i (1 - d_i^2/r^2) * maxPower_i * dir_i)
+    """
+    num_photons = pmap.pos.shape[0]
+    r2 = pmap.radius * pmap.radius
+    pad = (-num_photons) % chunk
+    pos = jnp.pad(pmap.pos, ((0, pad), (0, 0)))
+    power = jnp.pad(pmap.power, ((0, pad), (0, 0)))
+    maxp = jnp.pad(pmap.max_power, (0, pad))
+    pdir = jnp.pad(pmap.direction, ((0, pad), (0, 0)))
+    valid = jnp.pad(pmap.valid, (0, pad))
+    n_chunks = (num_photons + pad) // chunk
+
+    def body(carry, args):
+        irrad, dsum = carry
+        cpos, cpow, cmaxp, cdir, cvalid = args
+        # [B, C] squared distances.
+        d2 = jnp.sum(
+            (p[:, None, :] - cpos[None, :, :]) ** 2, axis=-1
+        )
+        w = jnp.maximum(0.0, 1.0 - d2 / r2)
+        w = jnp.where((d2 < r2) & cvalid[None, :], w, 0.0)
+        irrad = irrad + jnp.dot(w, cpow, preferred_element_type=jnp.float32)
+        dsum = dsum + jnp.dot(
+            w * cmaxp[None, :], cdir, preferred_element_type=jnp.float32
+        )
+        return (irrad, dsum), None
+
+    init = (jnp.zeros((p.shape[0], 3)), jnp.zeros((p.shape[0], 3)))
+    (irrad, dsum), _ = jax.lax.scan(
+        body,
+        init,
+        (
+            pos.reshape(n_chunks, chunk, 3),
+            power.reshape(n_chunks, chunk, 3),
+            maxp.reshape(n_chunks, chunk),
+            pdir.reshape(n_chunks, chunk, 3),
+            valid.reshape(n_chunks, chunk),
+        ),
+    )
+    area = jnp.pi * 0.5 * r2
+    irrad = irrad / jnp.maximum(area, 1e-30)
+    direction = normalize(dsum, eps=1e-30)
+    return irrad, direction
+
+
+def gather_blinn(pmap: PhotonMapData, p, n, v, diffuse, specular, glossiness):
+    """Blinn-weighted photon gather (MtlBlinn_PhotonMap.cpp:426-458):
+        L = -normalize(D); H = norm(V+L)
+        contribution = I * cosNL * (diffuse + specular * cosNH^gloss)
+    zeroed when the estimate luma is below the reference threshold."""
+    irrad, d = estimate_irradiance(pmap, p)
+    l_dir = -d
+    h = normalize(v + l_dir, eps=1e-30)
+    cos_nl = jnp.maximum(0.0, dot(n, l_dir))
+    cos_nh = jnp.maximum(0.0, dot(n, h))
+    c = irrad * cos_nl[:, None] * (
+        diffuse + specular * jnp.power(cos_nh, glossiness)[:, None]
+    )
+    return jnp.where((luma(irrad) > COLOR_LUMA_THRESHOLD)[:, None], c, 0.0)

@@ -1,0 +1,82 @@
+"""Photon map: gather math vs a direct NumPy port of cyPhotonMap, and an
+end-to-end photon-mapped render."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qaray_tpu.photon.gather import PhotonMapData, estimate_irradiance
+
+
+def _make_map(n=300, radius=0.5, seed=0):
+    rs = np.random.RandomState(seed)
+    pos = rs.uniform(-1, 1, (n, 3)).astype(np.float32)
+    power = rs.uniform(0, 0.1, (n, 3)).astype(np.float32)
+    d = rs.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return PhotonMapData(
+        pos=jnp.asarray(pos),
+        power=jnp.asarray(power),
+        max_power=jnp.asarray(power.max(axis=1)),
+        direction=jnp.asarray(d),
+        radius=jnp.asarray(np.float32(radius)),
+        valid=jnp.asarray(np.ones(n, bool)),
+    ), pos, power, d
+
+
+def _reference_estimate(pos, power, pdir, radius, q):
+    """Direct port of EstimateIrradiance (quadratic filter, no kNN cap)."""
+    r2 = radius * radius
+    d2 = np.sum((pos - q) ** 2, axis=1)
+    sel = d2 < r2
+    w = (1.0 - d2 / r2)[sel]
+    irrad = (w[:, None] * power[sel]).sum(axis=0) / (np.pi * 0.5 * r2)
+    maxp = power[sel].max(axis=1) if sel.any() else np.zeros(0)
+    dsum = (w[:, None] * maxp[:, None] * pdir[sel]).sum(axis=0)
+    norm = np.linalg.norm(dsum)
+    direction = dsum / norm if norm > 0 else dsum
+    return irrad, direction
+
+
+def test_estimate_matches_reference_port():
+    pmap, pos, power, pdir = _make_map()
+    qs = np.random.RandomState(1).uniform(-1, 1, (32, 3)).astype(np.float32)
+    irrad, direction = estimate_irradiance(pmap, jnp.asarray(qs), chunk=64)
+    irrad = np.asarray(irrad)
+    direction = np.asarray(direction)
+    for i, q in enumerate(qs):
+        expect_i, expect_d = _reference_estimate(pos, power, pdir, 0.5, q)
+        np.testing.assert_allclose(irrad[i], expect_i, rtol=1e-4, atol=1e-5)
+        if np.linalg.norm(expect_d) > 0:
+            np.testing.assert_allclose(direction[i], expect_d, atol=1e-4)
+
+
+def test_padding_invariance():
+    """Chunk padding lanes must not contribute."""
+    pmap, pos, power, pdir = _make_map(n=100)
+    q = jnp.asarray(np.zeros((4, 3), np.float32))
+    i1, _ = estimate_irradiance(pmap, q, chunk=64)  # pad 28 lanes
+    i2, _ = estimate_irradiance(pmap, q, chunk=100)  # no pad
+    np.testing.assert_allclose(np.asarray(i1), np.asarray(i2), rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_photon_mapped_render(inputs_dir):
+    from qaray_tpu.renderer import Renderer, RendererParam
+    from qaray_tpu.scene.xml_parser import load_scene
+
+    scene = load_scene(f"{inputs_dir}/trc_mtl_glass.xml")
+    scene.camera.img_width, scene.camera.img_height = 60, 45
+    p = RendererParam(
+        spp_min=1, spp_max=1, integrator="photonmap", use_photon_map=True,
+        photon_map_size=500, caustics_map_size=100,
+        photon_map_bounce=6, caustics_map_bounce=6,
+    )
+    r = Renderer(p)
+    r.compute_scene(scene)
+    gmap, cmap = r.photon_maps
+    assert int(np.asarray(gmap.valid).sum()) == 500
+    fb = r.render()
+    img = fb.img.reshape(45, 60, 3)
+    assert np.isfinite(img).all()
+    assert img.sum() > 0
