@@ -57,6 +57,23 @@ def _render_ours(inputs_dir, scene_name, spp):
     return fb.img.reshape(150, 200, 3).astype(np.float32) / 255.0
 
 
+def test_mesh_scene_golden():
+    """Mesh path (OBJ load + BVH + smooth normals) vs the reference.
+
+    Golden from the reference's Debug build — its optimized builds crash on
+    every multi-triangle mesh (TriFace::operator= misses `return *this`,
+    mesh/TriMesh.h:58-67, UB the face sort trips over at -O3).
+    """
+    golden_path = os.path.join(GOLDEN_DIR, "mesh_scene_16spp.png")
+    if not os.path.exists(golden_path):
+        pytest.skip("mesh golden missing")
+    assets = os.path.join(os.path.dirname(__file__), "assets")
+    golden = _load_png(golden_path)
+    ours = _render_ours(assets, "mesh_scene.xml", 16)
+    diff = np.abs(_block_mean(golden) - _block_mean(ours))
+    assert diff.mean() < 0.015, f"mesh diff {diff.mean():.4f}"
+
+
 @pytest.mark.parametrize("scene_name,spp,tol", CASES)
 def test_golden_parity(inputs_dir, scene_name, spp, tol):
     golden_path = os.path.join(
