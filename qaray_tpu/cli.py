@@ -69,6 +69,7 @@ def parse_args(argv):
         elif a == "-devices":
             i += 1
             devices = int(argv[i])
+            param.num_devices = devices
         elif a == "-platform":
             # e.g. `-platform cpu` to force CPU when a TPU plugin is
             # registered (the sitecustomize here pins JAX_PLATFORMS=axon,
@@ -82,6 +83,12 @@ def parse_args(argv):
             i += 1
             w, h = argv[i].lower().split("x")
             overrides["res"] = (int(w), int(h))
+        elif a == "-progressive":
+            i += 1
+            param.progressive_every = int(argv[i])
+        elif a == "-profile":
+            i += 1
+            overrides["profile"] = argv[i]
         else:
             scene_file = a
         i += 1
@@ -110,10 +117,15 @@ def main(argv=None):
         print(f"progress: {done}/{total} spp", flush=True)
 
     renderer.set_progress_callback(progress)
+    param.progressive_prefix = out_prefix
 
-    t0 = time.time()
-    fb = renderer.render()
-    print(f"\nElapsed Time is {time.time() - t0:f} s")
+    from qaray_tpu.utils.timing import FrameTimer, profile
+
+    timer = FrameTimer()
+    timer.start()
+    with profile(overrides.get("profile")):
+        fb = renderer.render()
+    timer.stop()
 
     # Output names follow Renderer_GUI::CleanRender (Renderer_GUI.cpp:65-73).
     fb.save_image(out_prefix + "colorBuffer.png")

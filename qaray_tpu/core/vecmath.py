@@ -88,6 +88,16 @@ def clamp01(x):
     return jnp.clip(x, 0.0, 1.0)
 
 
+def pow_safe(base, exponent):
+    """x^g for cosine-lobe terms, differentiable w.r.t. the exponent.
+
+    d/dg x^g = x^g ln(x) is NaN at x = 0; clamping the base to 1e-6 leaves
+    the primal unchanged within float32 (1e-6^20 == 0) while keeping
+    glossiness gradients finite.
+    """
+    return jnp.power(jnp.maximum(base, 1e-6), exponent)
+
+
 def linear_to_srgb(c):
     """Reference renderers/renderer.cpp:34-39."""
     a = 0.055

@@ -1,0 +1,105 @@
+"""Differentiable rendering: gradients of radiance w.r.t. scene parameters.
+
+The reference has no backward pass at all; this is the framework's
+north-star extension. The whole wavefront engine is pure jnp, so `jax.grad`
+flows through shading math automatically; what makes the estimator correct
+is *detached sampling* (stop_gradient on sampled continuation directions and
+RR selection probabilities, applied inside the engine):
+
+    E[L] = sum_lobes p_i * (BxDF_i / p_i) * L_i = sum_i BxDF_i * L_i
+    dE/dtheta = sum_i d(BxDF_i)/dtheta * L_i   (+ light/texture terms)
+
+so dropping the sensitivity of p_i and of the sampled directions yields
+exactly the gradient of the expectation for material/light/texture
+parameters (geometry edge terms are out of scope, matching the BASELINE
+north star: gradients w.r.t. material, light and texture parameters).
+
+Gradients are taken w.r.t. a `DiffParams` bundle spliced into the scene, so
+callers get a small, well-typed gradient pytree instead of a full
+SceneArrays cotangent. Works under jit/shard_map; gradients across a device
+mesh are summed by XLA (the psum the reference never needed).
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from qaray_tpu.integrators.engine import IntegratorConfig, render_batch
+from qaray_tpu.scene.arrays import SceneArrays
+
+
+class DiffParams(NamedTuple):
+    """The differentiable parameter bundle (a sub-pytree of SceneArrays)."""
+
+    mtl_diffuse: jnp.ndarray  # [M, 3]
+    mtl_specular: jnp.ndarray  # [M, 3]
+    mtl_emission: jnp.ndarray  # [M, 3]
+    mtl_reflection: jnp.ndarray  # [M, 3]
+    mtl_refraction: jnp.ndarray  # [M, 3]
+    mtl_glossiness: jnp.ndarray  # [M]
+    light_intensity: jnp.ndarray  # [L, 3]
+    texture_texels: jnp.ndarray  # [T, 3]
+    background: jnp.ndarray  # [3]
+    environment: jnp.ndarray  # [3]
+
+
+def extract_params(scene: SceneArrays) -> DiffParams:
+    return DiffParams(
+        mtl_diffuse=scene.materials.diffuse,
+        mtl_specular=scene.materials.specular,
+        mtl_emission=scene.materials.emission,
+        mtl_reflection=scene.materials.reflection,
+        mtl_refraction=scene.materials.refraction,
+        mtl_glossiness=scene.materials.glossiness,
+        light_intensity=scene.lights.intensity,
+        texture_texels=scene.textures.texels,
+        background=scene.background.color,
+        environment=scene.environment.color,
+    )
+
+
+def splice_params(scene: SceneArrays, params: DiffParams) -> SceneArrays:
+    return scene._replace(
+        materials=scene.materials._replace(
+            diffuse=params.mtl_diffuse,
+            specular=params.mtl_specular,
+            emission=params.mtl_emission,
+            reflection=params.mtl_reflection,
+            refraction=params.mtl_refraction,
+            glossiness=params.mtl_glossiness,
+        ),
+        lights=scene.lights._replace(intensity=params.light_intensity),
+        textures=scene.textures._replace(texels=params.texture_texels),
+        background=scene.background._replace(color=params.background),
+        environment=scene.environment._replace(color=params.environment),
+    )
+
+
+def render_with_params(scene, meta, cfg, params: DiffParams, px, py,
+                       sample_ids, key):
+    """Radiance [B,3] as a function of the differentiable bundle."""
+    radiance, _ = render_batch(
+        splice_params(scene, params), meta, cfg, px, py, sample_ids, key
+    )
+    return radiance
+
+
+@partial(jax.jit, static_argnames=("meta", "cfg"))
+def render_value_and_grad(scene, meta, cfg, px, py, sample_ids, key,
+                          target=None):
+    """(loss, DiffParams gradients) for one sample round.
+
+    loss = mean(radiance) when target is None, else mean((radiance-target)^2)
+    — the latter is the inverse-rendering objective.
+    """
+    params = extract_params(scene)
+
+    def loss_fn(p):
+        radiance = render_with_params(scene, meta, cfg, p, px, py, sample_ids, key)
+        if target is None:
+            return jnp.mean(radiance)
+        return jnp.mean((radiance - target) ** 2)
+
+    return jax.value_and_grad(loss_fn)(params)

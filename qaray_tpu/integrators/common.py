@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from qaray_tpu.core.constants import BIGFLOAT, TOTAL_REFLECTION_THRESHOLD
 from qaray_tpu.core import rng as RNG
-from qaray_tpu.core.vecmath import cross, dot, normalize, vdot
+from qaray_tpu.core.vecmath import cross, dot, normalize, pow_safe, vdot
 from qaray_tpu.core.warps import uniform_ball_ref
 from qaray_tpu.ops.texture import sample_textured_color
 from qaray_tpu.ops.trace import trace_shadow
@@ -263,6 +263,6 @@ def blinn_direct(scene, meta, cfg, p, n, v, diffuse, specular, glossiness, keys,
         h = normalize(v + l_dir, eps=1e-30)
         cos_nl = jnp.maximum(0.0, dot(n, l_dir))
         cos_nh = jnp.maximum(0.0, dot(n, h))
-        spec = specular * jnp.power(cos_nh, glossiness)[:, None]
+        spec = specular * pow_safe(cos_nh, glossiness)[:, None]
         total = total + intensity * cos_nl[:, None] * (diffuse + spec)
     return total

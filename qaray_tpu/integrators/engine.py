@@ -40,7 +40,7 @@ from qaray_tpu.core.constants import (
     PHOTON_KILL,
 )
 from qaray_tpu.core.halton import halton
-from qaray_tpu.core.vecmath import dot, luma, normalize, to_local_frame
+from qaray_tpu.core.vecmath import dot, luma, normalize, pow_safe, to_local_frame
 from qaray_tpu.core.warps import concentric_disc, cos_weighted_hemisphere
 from qaray_tpu.integrators import common as C
 from qaray_tpu.ops.texture import sample_background, sample_environment
@@ -188,7 +188,7 @@ def _photonmap_vertex(scene, meta, cfg, hits, mtl, v, keys, has_diffuse_hit,
     diff_dir = to_local_frame(n, cos_weighted_hemisphere(u))
     h = normalize(v + normalize(diff_dir, eps=1e-30), eps=1e-30)
     cos_nh = jnp.maximum(0.0, dot(n, h))
-    diff_bxdf = mtl.diffuse + mtl.specular * jnp.power(cos_nh, mtl.glossiness)[:, None]
+    diff_bxdf = mtl.diffuse + mtl.specular * pow_safe(cos_nh, mtl.glossiness)[:, None]
 
     can_bounce = bounce_remaining > 0
     go_reflect = sel_reflect & (luma_r > COLOR_LUMA_THRESHOLD) & can_bounce
@@ -272,7 +272,7 @@ def _pathtrace_vertex(scene, meta, cfg, hits, mtl, v, keys, has_diffuse_hit,
     refr_bxdf = jnp.where(
         refr_glossy[:, None],
         sample_refraction
-        * jnp.power(cos_vh_t, mtl.refraction_glossiness)[:, None],
+        * pow_safe(cos_vh_t, mtl.refraction_glossiness)[:, None],
         sample_refraction,
     )
 
@@ -282,7 +282,7 @@ def _pathtrace_vertex(scene, meta, cfg, hits, mtl, v, keys, has_diffuse_hit,
     refl_bxdf = jnp.where(
         refl_glossy[:, None],
         sample_reflection
-        * jnp.power(cos_vh_r, mtl.reflection_glossiness)[:, None],
+        * pow_safe(cos_vh_r, mtl.reflection_glossiness)[:, None],
         sample_reflection,
     )
 
@@ -290,7 +290,7 @@ def _pathtrace_vertex(scene, meta, cfg, hits, mtl, v, keys, has_diffuse_hit,
     spec_dir = hemi_world
     h = normalize(v + normalize(spec_dir, eps=1e-30), eps=1e-30)
     cos_nh = jnp.maximum(0.0, dot(n, h))
-    spec_bxdf = mtl.specular * jnp.power(cos_nh, mtl.glossiness)[:, None]
+    spec_bxdf = mtl.specular * pow_safe(cos_nh, mtl.glossiness)[:, None]
 
     # Diffuse lobe (front hits only).
     diff_dir = hemi_world
@@ -325,7 +325,7 @@ def _pathtrace_vertex(scene, meta, cfg, hits, mtl, v, keys, has_diffuse_hit,
             jnp.where(go_spec[:, None], spec_bxdf, diff_bxdf),
         ),
     )
-    weight = bxdf / jnp.maximum(pdf, 1e-20)[:, None]
+    weight = bxdf / jax.lax.stop_gradient(jnp.maximum(pdf, 1e-20))[:, None]
     alive = go_refr | go_refl | go_spec | go_diff
     # PathTracing applies no absorption on continuations (reference dead code:
     # `incoming` is overwritten after the attenuation multiply,
@@ -425,7 +425,7 @@ def _basic_family_vertex(scene, meta, cfg, hits, mtl, v, keys, has_diffuse_hit,
         cos_nl = jnp.maximum(0.0, dot(n, d_dir))
         # MtlBlinn_MonteCarloGI.cpp:255-260 estimator weight.
         d_k = (
-            mtl.specular * (cos_nl * jnp.power(cos_nh, mtl.glossiness))[:, None]
+            mtl.specular * (cos_nl * pow_safe(cos_nh, mtl.glossiness))[:, None]
             + mtl.diffuse
         )
         spawn_d = front & can_bounce & (luma(mtl.diffuse) > 1e-6)
@@ -453,7 +453,7 @@ def _basic_family_vertex(scene, meta, cfg, hits, mtl, v, keys, has_diffuse_hit,
     )
     weight = jnp.where(
         pick_t[:, None], t_k, jnp.where(pick_r[:, None], r_k, d_k)
-    ) / jnp.maximum(prob, 1e-30)[:, None]
+    ) / jax.lax.stop_gradient(jnp.maximum(prob, 1e-30))[:, None]
     alive = any_child
     pending_absorption = mtl.absorption
     return vertex_color, new_dir, weight, alive, has_diffuse_hit, pending_absorption
@@ -477,7 +477,7 @@ def _phong_direct(scene, meta, cfg, p, n, v, mtl, keys):
         cos_nl = jnp.maximum(0.0, dot(n, l_dir))
         cos_vr = jnp.maximum(0.0, dot(v, r_vec))
         total = total + mtl.diffuse * intensity * cos_nl[:, None]
-        total = total + mtl.specular * intensity * jnp.power(
+        total = total + mtl.specular * intensity * pow_safe(
             cos_vr, mtl.glossiness
         )[:, None]
     return total
@@ -564,7 +564,11 @@ def integrate(scene: SceneArrays, meta: SceneMeta, cfg: IntegratorConfig,
         has_diffuse_hit = jnp.where(alive, new_hdh, has_diffuse_hit)
         pending_absorption = pend_abs
         p = hits["p"]
-        d = normalize(new_dir, eps=1e-30)
+        # Detached sampling: continuation directions carry no parameter
+        # gradient (reparameterized/detached estimator — the correct gradient
+        # of the discrete-lobe expectation keeps BxDF sensitivities and drops
+        # direction/PDF sensitivities; see diff.py).
+        d = jax.lax.stop_gradient(normalize(new_dir, eps=1e-30))
 
     return radiance, t0
 

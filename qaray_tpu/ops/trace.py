@@ -117,9 +117,15 @@ def trace_closest(scene: SceneArrays, meta: SceneMeta, p, d):
     t = jnp.where(use_mesh, t_m, t_a)
     hit = t < BIGFLOAT
 
-    attrs_a = I.analytic_hit_attrs(p, d, t, prim_idx, scene.analytic)
+    # Attribute math on miss lanes must stay finite: at t = BIGFLOAT the
+    # squared norms overflow to inf and normalize() yields NaN, which then
+    # poisons *gradients* of every multiplication sharing those lanes (zero
+    # cotangent times NaN cofactor). Evaluate attributes at a benign t.
+    t_attr = jnp.where(hit, t, 1.0)
+
+    attrs_a = I.analytic_hit_attrs(p, d, t_attr, prim_idx, scene.analytic)
     if meta.num_mesh_instances > 0:
-        attrs_m = _mesh_hit_attrs(scene, p, d, t, inst_id, tri_id, bary, front_m)
+        attrs_m = _mesh_hit_attrs(scene, p, d, t_attr, inst_id, tri_id, bary, front_m)
         sel = lambda a, b: jnp.where(
             use_mesh.reshape((-1,) + (1,) * (a.ndim - 1)), b, a
         )

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from qaray_tpu.core.constants import COLOR_LUMA_THRESHOLD
-from qaray_tpu.core.vecmath import dot, luma, normalize
+from qaray_tpu.core.vecmath import dot, luma, normalize, pow_safe
 
 
 class PhotonMapData(NamedTuple):
@@ -96,6 +96,6 @@ def gather_blinn(pmap: PhotonMapData, p, n, v, diffuse, specular, glossiness):
     cos_nl = jnp.maximum(0.0, dot(n, l_dir))
     cos_nh = jnp.maximum(0.0, dot(n, h))
     c = irrad * cos_nl[:, None] * (
-        diffuse + specular * jnp.power(cos_nh, glossiness)[:, None]
+        diffuse + specular * pow_safe(cos_nh, glossiness)[:, None]
     )
     return jnp.where((luma(irrad) > COLOR_LUMA_THRESHOLD)[:, None], c, 0.0)

@@ -50,6 +50,9 @@ class RendererParam:
     seed: int = 0
     round_spp: int = 1  # samples per adaptive round after spp_min
     batch_pixels: int = 1 << 20  # max pixel-lanes per device dispatch
+    num_devices: int = 0  # 0/1 = single device; >1 = shard over a mesh
+    progressive_every: int = 0  # save colorBuffer every N spp (0 = off)
+    progressive_prefix: str = ""
 
 
 def _pad_to_bucket(n: int, minimum: int = 256) -> int:
@@ -69,6 +72,13 @@ class Renderer:
         self.fb: Optional[FrameBuffer] = None
         self.photon_maps = None
         self._progress_cb: Optional[Callable] = None
+        self._render_fn = render_batch
+        if self.param.num_devices > 1:
+            from qaray_tpu.parallel.mesh import make_render_mesh, shard_render_batch
+
+            mesh = make_render_mesh(jax.devices()[: self.param.num_devices])
+            self._render_fn = shard_render_batch(mesh)
+            self._mesh = mesh
 
     # -- lifecycle (reference Renderer::Init/ComputeScene/Render) -------------
 
@@ -158,7 +168,7 @@ class Renderer:
             px = jax.numpy.asarray(ids_p % w)
             py = jax.numpy.asarray(ids_p // w)
             sample_ids = jax.numpy.full((padded,), sample_idx, jax.numpy.int32)
-            radiance, t0 = render_batch(
+            radiance, t0 = self._render_fn(
                 self.scene_arrays, meta, cfg, px, py, sample_ids, base_key,
                 self.photon_maps,
             )
@@ -170,3 +180,14 @@ class Renderer:
     def _report(self, spp_done: int):
         if self._progress_cb is not None:
             self._progress_cb(spp_done, self.param.spp_max)
+        pe = self.param.progressive_every
+        if pe and spp_done % pe == 0 and spp_done < self.param.spp_max:
+            # Progressive preview (the GUI renderer's live-view equivalent).
+            fb = self.fb
+            import copy
+
+            snapshot = copy.deepcopy(fb)
+            snapshot.finalize(self.param.use_srgb, self.param.spp_max)
+            snapshot.save_image(
+                f"{self.param.progressive_prefix}colorBuffer_{spp_done:04d}spp.png"
+            )

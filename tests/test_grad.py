@@ -1,0 +1,156 @@
+"""Gradient correctness: analytic (detached-sampling) vs finite differences.
+
+Common random numbers (the same PRNG key in every evaluation) make the
+estimator a deterministic function of the parameters, so central finite
+differences converge to the analytic gradient wherever the parameter does
+not flip an RR lobe selection. Parameters and deltas are chosen so flip
+probability is negligible at test scale.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qaray_tpu.diff import (
+    extract_params,
+    render_with_params,
+    render_value_and_grad,
+)
+from qaray_tpu.integrators.engine import IntegratorConfig
+from qaray_tpu.scene.compiler import compile_scene
+from qaray_tpu.scene.xml_parser import load_scene
+
+
+@pytest.fixture(scope="module")
+def setup(inputs_dir):
+    scene_desc = load_scene(f"{inputs_dir}/example_project2_blinn.xml")
+    scene_desc.camera.img_width = 48
+    scene_desc.camera.img_height = 36
+    scene, meta = compile_scene(scene_desc)
+    cfg = IntegratorConfig(integrator="pathtrace", max_bounce=3, shadow_spp=4)
+    n = 48 * 36
+    ids = np.arange(n, dtype=np.int32)
+    px = jnp.asarray(ids % 48)
+    py = jnp.asarray(ids // 48)
+    sample_ids = jnp.zeros((n,), jnp.int32)
+    key = jax.random.PRNGKey(42)
+    return scene, meta, cfg, px, py, sample_ids, key
+
+
+def _loss(scene, meta, cfg, params, px, py, sample_ids, key):
+    return float(
+        jnp.mean(
+            render_with_params(scene, meta, cfg, params, px, py, sample_ids, key)
+        )
+    )
+
+
+def _fd_check(setup, field, index, delta, rtol, cfg_override=None):
+    scene, meta, cfg, px, py, sample_ids, key = setup
+    if cfg_override is not None:
+        cfg = cfg_override
+    loss, grads = render_value_and_grad(
+        scene, meta, cfg, px, py, sample_ids, key
+    )
+    analytic = float(getattr(grads, field)[index])
+
+    params = extract_params(scene)
+
+    def perturb(eps):
+        arr = getattr(params, field)
+        arr = arr.at[index].add(eps)
+        return params._replace(**{field: arr})
+
+    lp = _loss(scene, meta, cfg, perturb(delta), px, py, sample_ids, key)
+    lm = _loss(scene, meta, cfg, perturb(-delta), px, py, sample_ids, key)
+    fd = (lp - lm) / (2 * delta)
+    assert np.isfinite(analytic)
+    if abs(fd) < 1e-7 and abs(analytic) < 1e-7:
+        return
+    assert analytic == pytest.approx(fd, rel=rtol, abs=1e-6), (
+        f"{field}[{index}]: analytic {analytic:.6g} vs fd {fd:.6g}"
+    )
+
+
+def test_grad_light_intensity(setup):
+    # Light intensity is linear in the estimator: FD must match tightly.
+    _fd_check(setup, "light_intensity", (1, 0), 1e-2, rtol=1e-3)
+
+
+def test_grad_emission(setup):
+    # Emission is linear: tight match.
+    _fd_check(setup, "mtl_emission", (0, 0), 1e-2, rtol=1e-3)
+
+
+# Material colors enter the RR lobe-selection weights; finite differences of
+# a single fixed-key run then measure discrete selection flips too, which the
+# detached estimator correctly omits (they cancel in expectation). Validate
+# those params on the direct-lighting-only estimator (max_bounce=0), where
+# their effect is smooth and FD converges tightly.
+_DIRECT_ONLY = IntegratorConfig(
+    integrator="pathtrace", max_bounce=0, shadow_spp=4
+)
+
+
+def test_grad_diffuse_color_direct(setup):
+    _fd_check(setup, "mtl_diffuse", (0, 1), 1e-3, rtol=2e-3,
+              cfg_override=_DIRECT_ONLY)
+
+
+def test_grad_specular_direct(setup):
+    _fd_check(setup, "mtl_specular", (1, 2), 1e-3, rtol=2e-3,
+              cfg_override=_DIRECT_ONLY)
+
+
+def test_grad_glossiness_direct(setup):
+    _fd_check(setup, "mtl_glossiness", (1,), 1e-3, rtol=5e-3,
+              cfg_override=_DIRECT_ONLY)
+
+
+def test_grad_diffuse_multibounce_close(setup):
+    # Multi-bounce detached gradient stays within the flip-noise envelope.
+    _fd_check(setup, "mtl_diffuse", (0, 1), 1e-3, rtol=0.1)
+
+
+def test_grad_glossiness_finite(setup):
+    scene, meta, cfg, px, py, sample_ids, key = setup
+    _, grads = render_value_and_grad(scene, meta, cfg, px, py, sample_ids, key)
+    assert np.isfinite(np.asarray(grads.mtl_glossiness)).all()
+
+
+def test_grads_all_finite(setup):
+    scene, meta, cfg, px, py, sample_ids, key = setup
+    loss, grads = render_value_and_grad(scene, meta, cfg, px, py, sample_ids, key)
+    assert np.isfinite(loss)
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_inverse_rendering_step(setup):
+    """One gradient step on an MSE objective reduces the loss."""
+    scene, meta, cfg, px, py, sample_ids, key = setup
+    target = render_with_params(
+        scene, meta, cfg, extract_params(scene), px, py, sample_ids, key
+    )
+    # Perturb diffuse of material 0, then take gradient steps back.
+    params0 = extract_params(scene)
+    from qaray_tpu.diff import splice_params
+
+    perturbed = params0._replace(
+        mtl_diffuse=params0.mtl_diffuse.at[0].add(0.2)
+    )
+    scene_p = splice_params(scene, perturbed)
+    loss0, grads = render_value_and_grad(
+        scene_p, meta, cfg, px, py, sample_ids, key, target=target
+    )
+    lr = 2.0
+    stepped = extract_params(scene_p)._replace(
+        mtl_diffuse=extract_params(scene_p).mtl_diffuse
+        - lr * grads.mtl_diffuse
+    )
+    scene_s = splice_params(scene, stepped)
+    loss1, _ = render_value_and_grad(
+        scene_s, meta, cfg, px, py, sample_ids, key, target=target
+    )
+    assert float(loss1) < float(loss0)
