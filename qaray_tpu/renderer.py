@@ -48,6 +48,7 @@ class RendererParam:
     shadow_spp: int = 16
     threshold: tuple = SPP_THRESHOLD
     seed: int = 0
+    rng_impl: str = "rbg"  # 'rbg' (fast TPU RngBitGenerator) | 'threefry2x32'
     round_spp: int = 1  # samples per adaptive round after spp_min
     batch_pixels: int = 1 << 20  # max pixel-lanes per device dispatch
     num_devices: int = 0  # 0/1 = single device; >1 = shard over a mesh
@@ -122,17 +123,33 @@ class Renderer:
         fb = self.fb
         w, h = meta.img_width, meta.img_height
         num_pixels = w * h
-        base_key = jax.random.PRNGKey(p.seed)
+        base_key = jax.random.key(p.seed, impl=p.rng_impl)
 
         all_ids = np.arange(num_pixels, dtype=np.int32)
         start = time.time()
 
-        # Phase 1: spp_min samples for every pixel.
-        for s in range(p.spp_min):
-            if self.stop_flag:
-                return fb
-            self._render_round(cfg, all_ids, s, base_key, record_depth=(s == 0))
-            self._report(s + 1)
+        # Phase 1: spp_min samples for every pixel. Pack several sample
+        # indices into one dispatch when the image alone underfills the
+        # device batch (small images hit peak throughput only at ~0.5M
+        # lanes) — lanes = pixels x samples.
+        if num_pixels <= self.param.batch_pixels:
+            pack = max(1, self.param.batch_pixels // max(num_pixels, 1))
+            s = 0
+            while s < p.spp_min:
+                if self.stop_flag:
+                    return fb
+                k = min(pack, p.spp_min - s)
+                self._render_packed(cfg, all_ids, list(range(s, s + k)),
+                                    base_key, record_depth=(s == 0))
+                s += k
+                self._report(s)
+        else:
+            for s in range(p.spp_min):
+                if self.stop_flag:
+                    return fb
+                self._render_round(cfg, all_ids, s, base_key,
+                                   record_depth=(s == 0))
+                self._report(s + 1)
 
         # Phase 2: adaptive refinement until spp_max / convergence,
         # compacting to the unconverged active set each round.
@@ -152,6 +169,34 @@ class Renderer:
         self._last_elapsed = elapsed
         fb.finalize(p.use_srgb, p.spp_max)
         return fb
+
+    def _render_packed(self, cfg, pixel_ids: np.ndarray, sample_indices,
+                       base_key, record_depth: bool):
+        """Dispatch len(sample_indices) samples per pixel in one batch, then
+        fold them into the accumulator in sample order (the Welford
+        recurrence is order-sensitive; order matches the reference loop)."""
+        meta = self.meta
+        w = meta.img_width
+        num_pixels = pixel_ids.size
+        num_samples = len(sample_indices)
+        ids_tiled = np.tile(pixel_ids, num_samples)
+        sids = np.repeat(np.asarray(sample_indices, np.int32), num_pixels)
+        n = ids_tiled.size
+        padded = _pad_to_bucket(n)
+        ids_p = np.zeros(padded, np.int32)
+        ids_p[:n] = ids_tiled
+        sids_p = np.zeros(padded, np.int32)
+        sids_p[:n] = sids
+        radiance, t0 = self._render_fn(
+            self.scene_arrays, meta, cfg,
+            jax.numpy.asarray(ids_p % w), jax.numpy.asarray(ids_p // w),
+            jax.numpy.asarray(sids_p), base_key, self.photon_maps,
+        )
+        radiance = np.asarray(radiance)[:n].reshape(num_samples, num_pixels, 3)
+        for k in range(num_samples):
+            self.fb.accumulate(pixel_ids, radiance[k])
+        if record_depth:
+            self.fb.set_depth(pixel_ids, np.asarray(t0)[:num_pixels])
 
     def _render_round(self, cfg, pixel_ids: np.ndarray, sample_idx: int,
                       base_key, record_depth: bool):
