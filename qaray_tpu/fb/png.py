@@ -10,8 +10,16 @@ import numpy as np
 
 
 def write_png(filename: str, array: np.ndarray):
-    """array: [H, W] (grey) or [H, W, 3] (RGB) uint8."""
+    """array: [H, W] (grey) or [H, W, 3] (RGB) uint8.
+
+    Encoder preference: native C++ zlib encoder, then PIL, then the pure
+    python fallback below.
+    """
     array = np.ascontiguousarray(array.astype(np.uint8))
+    from qaray_tpu import native
+
+    if native.png_write_native(filename, array):
+        return
     try:
         from PIL import Image
 

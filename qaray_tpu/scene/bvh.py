@@ -36,8 +36,24 @@ class FlatBVH(NamedTuple):
     elems: np.ndarray  # [F] int32
 
 
-def build_bvh(tri_verts: np.ndarray, max_leaf: int = 4) -> FlatBVH:
-    """tri_verts: [F, 3, 3] triangle vertex positions (object space)."""
+def build_bvh(tri_verts: np.ndarray, max_leaf: int = 4,
+              use_native: bool = True) -> FlatBVH:
+    """tri_verts: [F, 3, 3] triangle vertex positions (object space).
+
+    Uses the C++ builder (native/qaray_native.cpp) when available — same
+    policy, node-for-node identical output — and falls back to NumPy.
+    """
+    if use_native:
+        from qaray_tpu import native
+
+        out = native.bvh_build_native(tri_verts.astype(np.float32), max_leaf)
+        if out is not None:
+            bounds, left, right, count, elems = out
+            return FlatBVH(bounds, left, right, count, elems)
+    return _build_bvh_numpy(tri_verts, max_leaf)
+
+
+def _build_bvh_numpy(tri_verts: np.ndarray, max_leaf: int = 4) -> FlatBVH:
     num_tris = tri_verts.shape[0]
     if num_tris == 0:
         return FlatBVH(
