@@ -62,6 +62,21 @@ def main():
         best = min(best, time.perf_counter() - t_start)
         s0 += rounds
     rays_per_s = rounds * batch / best
+
+    # Secondary metrics -> bench_details.json (stdout stays one JSON line).
+    details = {
+        "primary_rays_per_s_pathtrace_box": rays_per_s,
+        "batch_lanes": batch,
+        "spp_equivalent_per_s_800x600": rays_per_s / batch,
+        "device": str(jax.devices()[0]),
+    }
+    try:
+        details["mesh_scene_rays_per_s"] = _mesh_bench()
+    except Exception as e:  # mesh bench is best-effort
+        details["mesh_scene_error"] = str(e)[:200]
+    with open("bench_details.json", "w") as f:
+        json.dump(details, f, indent=2)
+
     print(
         json.dumps(
             {
@@ -72,6 +87,42 @@ def main():
             }
         )
     )
+
+
+def _mesh_bench():
+    """Triangle-mesh path throughput (icosphere scene, BVH traversal)."""
+    import jax
+    import jax.numpy as jnp
+
+    from qaray_tpu.integrators.engine import IntegratorConfig, render_batch
+    from qaray_tpu.scene.compiler import compile_scene
+    from qaray_tpu.scene.xml_parser import load_scene
+
+    scene = load_scene("tests/assets/mesh_scene.xml")
+    arrays, meta = compile_scene(scene)
+    cfg = IntegratorConfig(integrator="pathtrace", max_bounce=5, shadow_spp=16)
+    w, h = meta.img_width, meta.img_height
+    npx = w * h
+    mult = 16  # 480k lanes
+    batch = npx * mult
+    ids = np.arange(batch, dtype=np.int32)
+    px = jnp.asarray(ids % w)
+    py = jnp.asarray((ids // w) % h)
+    sids = jnp.asarray(ids // npx)
+    key = jax.random.key(0, impl="rbg")
+
+    def step(s):
+        return render_batch(arrays, meta, cfg, px, py, sids + s, key)[0]
+
+    step(0).block_until_ready()
+    rounds = 10
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        outs = [step(s) for s in range(1, rounds + 1)]
+        outs[-1].block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    return rounds * batch / best
 
 
 if __name__ == "__main__":

@@ -99,6 +99,32 @@ class FrameBuffer:
             return np.zeros_like(s)
         return ((255 * (s.astype(np.int32) - smin)) // (smax - smin)).astype(np.uint8)
 
+    # -- checkpoint / resume --------------------------------------------------
+    # The reference has no render checkpointing (SURVEY.md §5); chunked
+    # sample rounds give natural granularity here: the accumulator state
+    # (mean/std/count/z) is the complete resume point.
+
+    def save_state(self, path: str):
+        np.savez_compressed(
+            path,
+            width=self.width,
+            height=self.height,
+            mean=self.mean,
+            color_std=self.color_std,
+            count=self.count,
+            zbuffer=self.zbuffer,
+        )
+
+    @classmethod
+    def load_state(cls, path: str) -> "FrameBuffer":
+        data = np.load(path)
+        fb = cls(int(data["width"]), int(data["height"]))
+        fb.mean = data["mean"]
+        fb.color_std = data["color_std"]
+        fb.count = data["count"]
+        fb.zbuffer = data["zbuffer"]
+        return fb
+
     # -- IO -------------------------------------------------------------------
 
     def _reshape(self, a):

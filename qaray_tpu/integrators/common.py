@@ -8,6 +8,7 @@ megabatch.
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from qaray_tpu.core.constants import BIGFLOAT, TOTAL_REFLECTION_THRESHOLD
@@ -46,12 +47,31 @@ class MtlSamples(NamedTuple):
     ior: jnp.ndarray
 
 
-def gather_materials(scene: SceneArrays, mtl_id, uvw, has_texture) -> MtlSamples:
-    """Gather + texture-sample all material params for B lanes."""
+def gather_materials(scene: SceneArrays, mtl_id, uvw, has_texture,
+                     duvw=None) -> MtlSamples:
+    """Gather + texture-sample all material params for B lanes.
+
+    duvw: optional (duvw0, duvw1) texture footprints; when given, textured
+    slots use the reference's 32-sample elliptic footprint filter (primary
+    hits; core/texture.cpp:32-52)."""
     mt = scene.materials
     mid = jnp.maximum(mtl_id, 0)
 
+    from qaray_tpu.ops.texture import sample_textured_color_filtered
+
     def slot(colors, slot_idx):
+        if duvw is not None:
+            return sample_textured_color_filtered(
+                scene.textures,
+                colors[mid],
+                mt.tex_id[mid, slot_idx],
+                mt.tex_m[mid, slot_idx],
+                mt.tex_t[mid, slot_idx],
+                uvw,
+                duvw[0],
+                duvw[1],
+                has_texture,
+            )
         return sample_textured_color(
             scene.textures,
             colors[mid],
@@ -200,21 +220,46 @@ def illuminate(scene, meta, cfg, light_idx: int, p, keys):
     pos = lt.position[light_idx]
     soft = meta.light_soft[light_idx]
     if soft:
-        s = cfg.shadow_spp
+        # Soft shadows: EXACT port of the reference's adaptive loop
+        # (lights/lights.cpp:50-74):
+        #     inshadow += (Shadow_s - inshadow) * falloff_s / (s+1)
+        #     if 0 < inshadow < 1: spp = shadow_spp_max
+        # Note the falloff sits INSIDE the recurrence update, so this is NOT
+        # mean(shadow*falloff): for small falloff f it approaches
+        # shadow * f * H_n (harmonic growth), and the escalation to
+        # shadow_spp_max triggers as soon as the estimate is fractional.
+        s_min = cfg.shadow_spp
+        s_max = cfg.shadow_spp_max
         k = RNG.fold(keys, RNG.P_SHADOW + 101 * light_idx)
-        u = RNG.uniform(k, (s, 2, 2))  # quirk-ball uniforms per sample
-        balls = _quirk_ball(u, size)  # [B, s, 3]
-        target = pos[None, None, :] + balls  # [B,s,3]
-        vec = target - p[:, None, :]  # [B,s,3]
+        u = RNG.uniform(k, (s_max, 2, 2))  # quirk-ball uniforms per sample
+        balls = _quirk_ball(u, size)  # [B, s_max, 3]
+        target = pos[None, None, :] + balls
+        vec = target - p[:, None, :]  # [B,s_max,3]
         dist = jnp.sqrt(jnp.maximum(jnp.sum(vec * vec, axis=-1), 1e-20))
         dirs = vec / dist[..., None]
         flat_p = jnp.broadcast_to(p[:, None, :], vec.shape).reshape(-1, 3)
         occ = trace_shadow(
             scene, meta, flat_p, dirs.reshape(-1, 3), dist.reshape(-1)
-        ).reshape(num, s)
-        shadow = 1.0 - occ.astype(jnp.float32)
-        # Reference running mean folds the per-sample falloff into the update.
-        in_shadow = jnp.mean(shadow * falloff(vec), axis=-1)
+        ).reshape(num, s_max)
+        shadow = 1.0 - occ.astype(jnp.float32)  # x_s
+        fall = falloff(vec)  # [B, s_max]
+
+        def body(carry, args):
+            i, limit, s = carry
+            x, f = args
+            upd = i + (x - i) * f / (s + 1.0)
+            i = jnp.where(s < limit, upd, i)
+            limit = jnp.where((i > 0.0) & (i < 1.0), float(s_max), limit)
+            return (i, limit, s + 1.0), None
+
+        init = (
+            jnp.zeros((num,)),
+            jnp.full((num,), float(s_min)),
+            jnp.zeros((num,)),
+        )
+        (in_shadow, _, _), _ = jax.lax.scan(
+            body, init, (shadow.T, fall.T)
+        )
         out = in_shadow[:, None] * intensity
     else:
         vec = pos[None, :] - p

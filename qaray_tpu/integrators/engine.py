@@ -57,7 +57,8 @@ class IntegratorConfig(NamedTuple):
 
     integrator: str = "photonmap"
     max_bounce: int = 5  # Material::maxBounce (CLI -bounce)
-    shadow_spp: int = 16  # GenLight::shadow_spp_min (adaptive 16..64 in ref)
+    shadow_spp: int = 16  # GenLight::shadow_spp_min
+    shadow_spp_max: int = 64  # GenLight::shadow_spp_max (adaptive escalation)
     inverse_square_falloff: bool = True  # disabled by Basic/Phong ctors
     use_photon_map: bool = False
     glossy_attempts: int = 4
@@ -91,7 +92,14 @@ def generate_camera_rays(scene: SceneArrays, meta: SceneMeta, cfg, px, py,
         campos = campos + lens[:, 0:1] * cam.screen_x[None, :] \
             + lens[:, 1:2] * cam.screen_y[None, :]
     d = normalize(cpt - campos)
-    return campos, d, tx, ty
+    # Differential rays: +dx/+dy pixel-offset screen points (DiffRay ctor at
+    # renderer.cpp:314-326; offsets DIFF_DX/DIFF_DY from core/ray.cpp:31-34).
+    from qaray_tpu.core.constants import DIFF_DX, DIFF_DY
+
+    xpt = cpt + DIFF_DX * cam.screen_u[None, :]
+    ypt = cpt + DIFF_DY * cam.screen_v[None, :]
+    diff = (campos, normalize(xpt - campos), campos, normalize(ypt - campos))
+    return campos, d, tx, ty, diff
 
 
 # ---------------------------------------------------------------------------
@@ -511,7 +519,7 @@ _VERTEX_FNS = {
 
 
 def integrate(scene: SceneArrays, meta: SceneMeta, cfg: IntegratorConfig,
-              p, d, ray_keys, screen_uv=None, photon_maps=None):
+              p, d, ray_keys, screen_uv=None, photon_maps=None, diff=None):
     """Trace B primary rays to full radiance. Returns (radiance [B,3], t0 [B])."""
     vertex_fn = _VERTEX_FNS[cfg.integrator]
     num = p.shape[0]
@@ -524,7 +532,7 @@ def integrate(scene: SceneArrays, meta: SceneMeta, cfg: IntegratorConfig,
     t0 = jnp.full((num,), BIGFLOAT, jnp.float32)
 
     for bounce in range(cfg.max_bounce + 1):
-        hits = trace_closest(scene, meta, p, d)
+        hits = trace_closest(scene, meta, p, d, diff=diff if bounce == 0 else None)
         hit = hits["hit"] & alive
         miss = (~hits["hit"]) & alive
 
@@ -546,7 +554,10 @@ def integrate(scene: SceneArrays, meta: SceneMeta, cfg: IntegratorConfig,
         att = jnp.exp(-pending_absorption * hits["t"][:, None])
         beta = jnp.where((hit & ~hits["front"])[:, None], beta * att, beta)
 
-        mtl = C.gather_materials(scene, hits["mtl"], hits["uvw"], hits["has_texture"])
+        mtl = C.gather_materials(
+            scene, hits["mtl"], hits["uvw"], hits["has_texture"],
+            duvw=(hits["duvw0"], hits["duvw1"]) if "duvw0" in hits else None,
+        )
         v = -d  # unit: d is normalized
         keys = RNG.fold(ray_keys, 1000 + bounce)
         bounce_remaining = jnp.full((num,), cfg.max_bounce - bounce, jnp.int32)
@@ -584,13 +595,13 @@ def render_batch(scene: SceneArrays, meta: SceneMeta, cfg: IntegratorConfig,
     """
     ray_ids = py * meta.img_width + px
     keys = RNG.ray_keys(base_key, ray_ids * 65536 + sample_ids)
-    campos, d, tx, ty = generate_camera_rays(
+    campos, d, tx, ty, diff = generate_camera_rays(
         scene, meta, cfg, px, py, sample_ids, keys
     )
     screen_uv = jnp.stack(
         [tx / meta.img_width, ty / meta.img_height, jnp.zeros_like(tx)], axis=-1
     )
     radiance, t0 = integrate(
-        scene, meta, cfg, campos, d, keys, screen_uv, photon_maps
+        scene, meta, cfg, campos, d, keys, screen_uv, photon_maps, diff
     )
     return radiance, t0

@@ -119,6 +119,71 @@ def analytic_hit_attrs(p, d, t, prim_idx, prims: AnalyticPrims):
     }
 
 
+def analytic_diff_uv(p, d, px, dx, py, dy, t, prim_idx, prims: AnalyticPrims,
+                     uvw):
+    """Texture-coordinate derivatives from differential rays.
+
+    Port of the diff-hit blocks of Sphere/Plane::IntersectRay
+    (objects.cpp:107-135, 174-202): each offset ray is intersected with the
+    hit primitive's local plane (tangent plane at the hit for spheres, z=0
+    for planes) and duvw = RCP_DX * (uv_offset - uv). All in object space.
+    Returns (duvw0, duvw1) [B, 3].
+    """
+    from qaray_tpu.core.constants import RCP_DX, RCP_DY
+
+    m = prims.m_w2o[prim_idx]
+    t0 = prims.t_o2w[prim_idx]
+    kind = prims.kind[prim_idx]
+
+    def to_obj(pw, dw):
+        return (
+            jnp.einsum("bij,bj->bi", m, pw - t0),
+            jnp.einsum("bij,bj->bi", m, dw),
+        )
+
+    p_obj, d_obj = to_obj(p, d)
+    hp = p_obj + t[:, None] * d_obj
+
+    is_sphere = (kind == KIND_SPHERE)
+    # Local plane normal: sphere -> hit normal (tangent plane); plane -> +z.
+    n_sph = normalize(hp, eps=1e-30)
+    n_pl = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], p.dtype), n_sph.shape)
+    n_loc = jnp.where(is_sphere[:, None], n_sph, n_pl)
+    # Plane anchor: sphere tangent plane passes through hp; unit plane z=0.
+    anchor = jnp.where(is_sphere[:, None], hp, jnp.zeros_like(hp))
+
+    def offset_uv(pw, dw):
+        po, do = to_obj(pw, dw)
+        denom = jnp.sum(do * n_loc, axis=-1)
+        denom = jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+        t_off = -jnp.sum((po - anchor) * n_loc, axis=-1) / denom
+        hpo = po + t_off[:, None] * do
+        # Sphere UV at the tangent-plane point, radius-corrected asin
+        # (Sphere_TexCoord with rcp_l = 1/|p|, objects.cpp:122-125).
+        r = jnp.sqrt(jnp.maximum(jnp.sum(hpo * hpo, axis=-1), 1e-30))
+        uv_s = jnp.stack(
+            [
+                0.5 - jnp.arctan2(hpo[..., 0], hpo[..., 1]) / (2.0 * jnp.pi),
+                0.5 + jnp.arcsin(jnp.clip(hpo[..., 2] / r, -1.0, 1.0)) / jnp.pi,
+                jnp.zeros_like(t_off),
+            ],
+            axis=-1,
+        )
+        uv_p = jnp.stack(
+            [
+                (hpo[..., 0] + 1.0) * 0.5,
+                (hpo[..., 1] + 1.0) * 0.5,
+                jnp.zeros_like(t_off),
+            ],
+            axis=-1,
+        )
+        return jnp.where(is_sphere[:, None], uv_s, uv_p)
+
+    duvw0 = RCP_DX * (offset_uv(px, dx) - uvw)
+    duvw1 = RCP_DY * (offset_uv(py, dy) - uvw)
+    return duvw0, duvw1
+
+
 def intersect_triangles(p_obj, d_obj, v0, v1, v2, t_max):
     """Batched triangle test (objects/objects.cpp:212-248).
 

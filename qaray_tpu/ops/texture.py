@@ -96,6 +96,55 @@ def sample_textured_color(atlas, color, tex_id, tex_m, tex_t, uvw, has_texture):
     return jnp.where(use_tex[..., None], color * tex, color)
 
 
+def _elliptic_offsets():
+    """Static Halton(2,3) elliptic footprint offsets (core/texture.cpp:38-44,
+    TEXTURE_SAMPLE_COUNT=32; i=0 is the center sample handled separately)."""
+    import numpy as np
+
+    from qaray_tpu.core.halton import halton_np
+
+    i = np.arange(1, 32)
+    hx = halton_np(i, 2)
+    hy = halton_np(i, 3)
+    r = np.sqrt(hx) * 0.5
+    x = r * np.sin(hy * 2.0 * np.pi)
+    y = r * np.cos(hy * 2.0 * np.pi)
+    return jnp.asarray(x.astype("float32")), jnp.asarray(y.astype("float32"))
+
+
+def sample_textured_color_filtered(atlas, color, tex_id, tex_m, tex_t, uvw,
+                                   duvw0, duvw1, has_texture):
+    """TexturedColor::Sample with the stochastic elliptic footprint filter
+    (core/texture.cpp:32-52 + TextureMap duvw transform at :67-82).
+
+    duvw0/duvw1: d(uvw)/d(pixel) in pre-transform uv space, [B, 3]. Lanes
+    with zero footprint reduce to the point sample (reference early-out)."""
+    u = jnp.einsum("bij,bj->bi", tex_m, uvw - tex_t)
+    d0 = jnp.einsum("bij,bj->bi", tex_m, duvw0)
+    d1 = jnp.einsum("bij,bj->bi", tex_m, duvw1)
+
+    xs, ys = _elliptic_offsets()
+    # [B, 31, 3] footprint sample positions.
+    pos = (
+        u[:, None, :]
+        + xs[None, :, None] * d0[:, None, :]
+        + ys[None, :, None] * d1[:, None, :]
+    )
+    num = u.shape[0]
+    flat = pos.reshape(num * 31, 3)
+    tex_rep = jnp.repeat(tex_id, 31)
+    samples = sample_texture(atlas, tex_rep, flat).reshape(num, 31, 3)
+    center = sample_texture(atlas, tex_id, u)
+    filtered = (center + jnp.sum(samples, axis=1)) / 32.0
+
+    zero_fp = (
+        jnp.sum(d0 * d0, axis=-1) + jnp.sum(d1 * d1, axis=-1)
+    ) == 0.0
+    tex = jnp.where(zero_fp[:, None], center, filtered)
+    use_tex = (tex_id >= 0) & has_texture
+    return jnp.where(use_tex[:, None], color * tex, color)
+
+
 def sample_environment(atlas, env, d):
     """TexturedColor::SampleEnvironment (core/texture.cpp:107-114).
 

@@ -93,9 +93,74 @@ def _mesh_hit_attrs(scene: SceneArrays, p, d, t, inst_id, tri_id, bary, front):
     }
 
 
+def _mesh_diff_uv(scene, p, d, px, dx, py, dy, t, inst_id, tri_id, bary, uvw):
+    """Triangle diff-hit uv derivatives (TriObj::IntersectTriangle diff block,
+    objects.cpp:264-290): offset rays hit the triangle's plane; barycentric
+    re-evaluation interpolates the corner uvs."""
+    from qaray_tpu.core.constants import RCP_DX, RCP_DY
+
+    inst = scene.instances
+    mesh = scene.mesh
+    si = jnp.maximum(inst_id, 0)
+    st = jnp.maximum(tri_id, 0)
+    m = inst.m_w2o[si]
+    t0 = inst.t_o2w[si]
+    v = mesh.tri_v[st]  # [B,3,3]
+    uvc = mesh.tri_uv[st]  # [B,3,2]
+    v0, v1, v2 = v[:, 0], v[:, 1], v[:, 2]
+    n = jnp.cross(v1 - v0, v2 - v0)
+
+    abs_n = jnp.abs(n)
+    axis0 = (abs_n[..., 0] > abs_n[..., 1]) & (abs_n[..., 0] > abs_n[..., 2])
+    axis1 = (~axis0) & (abs_n[..., 1] > abs_n[..., 2])
+
+    def area(axis, a, b, c):
+        i, j = {0: (1, 2), 1: (0, 2), 2: (0, 1)}[axis]
+        return (b[..., i] - a[..., i]) * (c[..., j] - a[..., j]) - (
+            c[..., i] - a[..., i]
+        ) * (b[..., j] - a[..., j])
+
+    def bary_at(hp):
+        def for_axis(axis):
+            s = area(axis, v0, v1, v2)
+            s = jnp.where(jnp.abs(s) < 1e-30, 1e-30, s)
+            a = area(axis, hp, v1, v2) / s
+            b = area(axis, hp, v2, v0) / s
+            return a, b
+
+        a0, b0 = for_axis(0)
+        a1, b1 = for_axis(1)
+        a2, b2 = for_axis(2)
+        a = jnp.where(axis0, a0, jnp.where(axis1, a1, a2))
+        b = jnp.where(axis0, b0, jnp.where(axis1, b1, b2))
+        return jnp.stack([a, b, 1.0 - a - b], axis=-1)
+
+    def offset_uv(pw, dw):
+        po = jnp.einsum("bij,bj->bi", m, pw - t0)
+        do = jnp.einsum("bij,bj->bi", m, dw)
+        denom = jnp.sum(do * n, axis=-1)
+        denom = jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+        t_off = -jnp.sum((po - v0) * n, axis=-1) / denom
+        hp = po + t_off[:, None] * do
+        bc = bary_at(hp)
+        uv = jnp.einsum("bk,bki->bi", bc, uvc)
+        return jnp.concatenate([uv, jnp.zeros_like(uv[:, :1])], axis=-1)
+
+    duvw0 = RCP_DX * (offset_uv(px, dx) - uvw)
+    duvw1 = RCP_DY * (offset_uv(py, dy) - uvw)
+    return duvw0, duvw1
+
+
 @partial(jax.jit, static_argnames=("meta",))
-def trace_closest(scene: SceneArrays, meta: SceneMeta, p, d):
-    """Closest-hit trace of B world-space rays."""
+def trace_closest(scene: SceneArrays, meta: SceneMeta, p, d, diff=None):
+    """Closest-hit trace of B world-space rays.
+
+    diff: optional (px, dx, py, dy) differential rays (DiffRay semantics,
+    core/ray.h); when given, the hit record gains `duvw0`/`duvw1` texture
+    footprints for the winning primitive — the reference computes these only
+    for primary camera rays too (secondary DiffRays are constructed with
+    hasDiffRay=false in the default material, MtlBlinn_PhotonMap.cpp:233).
+    """
     num_rays = p.shape[0]
 
     if meta.num_analytic > 0:
@@ -132,6 +197,23 @@ def trace_closest(scene: SceneArrays, meta: SceneMeta, p, d):
         attrs = {k: sel(attrs_a[k], attrs_m[k]) for k in attrs_a}
     else:
         attrs = attrs_a
+
+    if diff is not None:
+        px, dx, py, dy = diff
+        d0a, d1a = I.analytic_diff_uv(
+            p, d, px, dx, py, dy, t_attr, prim_idx, scene.analytic, attrs["uvw"]
+        )
+        if meta.num_mesh_instances > 0:
+            d0m, d1m = _mesh_diff_uv(
+                scene, p, d, px, dx, py, dy, t_attr, inst_id, tri_id, bary,
+                attrs["uvw"],
+            )
+            d0 = jnp.where(use_mesh[:, None], d0m, d0a)
+            d1 = jnp.where(use_mesh[:, None], d1m, d1a)
+        else:
+            d0, d1 = d0a, d1a
+        attrs["duvw0"] = d0
+        attrs["duvw1"] = d1
 
     attrs["t"] = t
     attrs["hit"] = hit

@@ -266,6 +266,10 @@ class SceneParser:
         if kind not in ("ambient", "direct", "point", "spot"):
             return
         light = D.LightDesc(kind=kind, name=elem.get("name", ""))
+        if kind == "spot":
+            # SpotLight ctor default (lights/lights.h:126); overwritten by a
+            # <rotation> child if present.
+            light.direction = np.array([1.0, 0.0, 0.0])
         for child in elem:
             tag = child.tag
             if tag == "intensity":

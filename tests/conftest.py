@@ -16,6 +16,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: golden/e2e tests recompile per scene shape;
+# caching across runs cuts suite wall time severalfold after the first run.
+jax.config.update("jax_compilation_cache_dir", "/tmp/qaray_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pytest  # noqa: E402
 

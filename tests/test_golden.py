@@ -74,6 +74,41 @@ def test_mesh_scene_golden():
     assert diff.mean() < 0.015, f"mesh diff {diff.mean():.4f}"
 
 
+@pytest.mark.parametrize(
+    "name,spp,tol",
+    [
+        # Spot-light cone attenuation + default (1,0,0) direction semantics.
+        ("spot_scene", 16, 0.01),
+        # Area-light adaptive soft shadows (exact 16->64 escalating
+        # recurrence with in-loop falloff) + depth-of-field lens sampling.
+        ("softdof_scene", 32, 0.02),
+    ],
+)
+def test_feature_scene_golden(name, spp, tol):
+    golden_path = os.path.join(GOLDEN_DIR, f"{name}_{spp}spp.png")
+    if not os.path.exists(golden_path):
+        pytest.skip(f"{name} golden missing")
+    assets = os.path.join(os.path.dirname(__file__), "assets")
+    golden = _load_png(golden_path)
+    ours = _render_ours(assets, f"{name}.xml", spp)
+    diff = np.abs(_block_mean(golden) - _block_mean(ours))
+    assert diff.mean() < tol, f"{name} diff {diff.mean():.4f}"
+
+
+def test_texture_filter_golden():
+    """Checkerboard minification: validates the 32-sample elliptic footprint
+    filter driven by primary-ray differentials (reference
+    core/texture.cpp:32-52 + objects.cpp diff-hit blocks)."""
+    golden_path = os.path.join(GOLDEN_DIR, "texture_scene_16spp.png")
+    if not os.path.exists(golden_path):
+        pytest.skip("texture golden missing")
+    assets = os.path.join(os.path.dirname(__file__), "assets")
+    golden = _load_png(golden_path)
+    ours = _render_ours(assets, "texture_scene.xml", 16)
+    diff = np.abs(_block_mean(golden) - _block_mean(ours))
+    assert diff.mean() < 0.01, f"texture diff {diff.mean():.4f}"
+
+
 @pytest.mark.parametrize("scene_name,spp,tol", CASES)
 def test_golden_parity(inputs_dir, scene_name, spp, tol):
     golden_path = os.path.join(
