@@ -24,8 +24,8 @@ from qaray_tpu.scene.arrays import KIND_SPHERE, AnalyticPrims
 def _to_object(p, d, prims: AnalyticPrims):
     """[B,3] rays -> [B,P,3] object-space rays."""
     rel = p[:, None, :] - prims.t_o2w[None, :, :]  # [B,P,3]
-    p_obj = jnp.einsum("pij,bpj->bpi", prims.m_w2o, rel)
-    d_obj = jnp.einsum("pij,bj->bpi", prims.m_w2o, d)
+    p_obj = jnp.einsum("pij,bpj->bpi", prims.m_w2o, rel, precision="highest")
+    d_obj = jnp.einsum("pij,bj->bpi", prims.m_w2o, d, precision="highest")
     return p_obj, d_obj
 
 
@@ -76,8 +76,8 @@ def analytic_hit_attrs(p, d, t, prim_idx, prims: AnalyticPrims):
     m = prims.m_w2o[prim_idx]  # [B,3,3]
     t0 = prims.t_o2w[prim_idx]  # [B,3]
     kind = prims.kind[prim_idx]
-    p_obj = jnp.einsum("bij,bj->bi", m, p - t0)
-    d_obj = jnp.einsum("bij,bj->bi", m, d)
+    p_obj = jnp.einsum("bij,bj->bi", m, p - t0, precision="highest")
+    d_obj = jnp.einsum("bij,bj->bi", m, d, precision="highest")
     hp_obj = p_obj + t[:, None] * d_obj
 
     # Sphere: N = normalize(p_obj); uv = (0.5 - atan2(x,y)/2pi, 0.5 + asin(z)/pi)
@@ -108,7 +108,7 @@ def analytic_hit_attrs(p, d, t, prim_idx, prims: AnalyticPrims):
 
     # World-space position and normal (Node::FromNodeCoords).
     hp_world = p + t[:, None] * d
-    n_world = normalize(jnp.einsum("bji,bj->bi", m, n_obj), eps=1e-30)
+    n_world = normalize(jnp.einsum("bji,bj->bi", m, n_obj, precision="highest"), eps=1e-30)
     return {
         "p": hp_world,
         "n": n_world,
@@ -137,8 +137,8 @@ def analytic_diff_uv(p, d, px, dx, py, dy, t, prim_idx, prims: AnalyticPrims,
 
     def to_obj(pw, dw):
         return (
-            jnp.einsum("bij,bj->bi", m, pw - t0),
-            jnp.einsum("bij,bj->bi", m, dw),
+            jnp.einsum("bij,bj->bi", m, pw - t0, precision="highest"),
+            jnp.einsum("bij,bj->bi", m, dw, precision="highest"),
         )
 
     p_obj, d_obj = to_obj(p, d)

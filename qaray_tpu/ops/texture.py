@@ -7,8 +7,10 @@ TexturedColor = color * map (core/texture.cpp:95-105), and the lat-ish
 environment mapping (core/texture.cpp:107-114).
 
 The reference's 32-sample stochastic footprint filter (core/texture.cpp:32-52)
-is point-sampled here for now; footprint filtering is an optional extension
-hook (differences only appear under heavy minification).
+is implemented in `sample_textured_color_filtered`, driven by primary-ray
+differentials (see ops/trace.py); secondary hits point-sample, exactly like
+the reference's default material (its secondary DiffRays carry
+hasDiffRay=false).
 """
 
 import jax.numpy as jnp
@@ -90,7 +92,7 @@ def sample_textured_color(atlas, color, tex_id, tex_m, tex_t, uvw, has_texture):
     Lanes without a hit texture coordinate (has_texture False) or without a
     map return the flat color (core/texture.cpp:95-105).
     """
-    u = jnp.einsum("bij,bj->bi", tex_m, uvw - tex_t)
+    u = jnp.einsum("bij,bj->bi", tex_m, uvw - tex_t, precision="highest")
     tex = sample_texture(atlas, tex_id, u)
     use_tex = (tex_id >= 0) & has_texture
     return jnp.where(use_tex[..., None], color * tex, color)
@@ -119,9 +121,9 @@ def sample_textured_color_filtered(atlas, color, tex_id, tex_m, tex_t, uvw,
 
     duvw0/duvw1: d(uvw)/d(pixel) in pre-transform uv space, [B, 3]. Lanes
     with zero footprint reduce to the point sample (reference early-out)."""
-    u = jnp.einsum("bij,bj->bi", tex_m, uvw - tex_t)
-    d0 = jnp.einsum("bij,bj->bi", tex_m, duvw0)
-    d1 = jnp.einsum("bij,bj->bi", tex_m, duvw1)
+    u = jnp.einsum("bij,bj->bi", tex_m, uvw - tex_t, precision="highest")
+    d0 = jnp.einsum("bij,bj->bi", tex_m, duvw0, precision="highest")
+    d1 = jnp.einsum("bij,bj->bi", tex_m, duvw1, precision="highest")
 
     xs, ys = _elliptic_offsets()
     # [B, 31, 3] footprint sample positions.

@@ -29,6 +29,20 @@ from qaray_tpu.ops.bvh_traverse import traverse_bvh
 from qaray_tpu.scene.arrays import SceneArrays, SceneMeta
 
 
+def _use_pallas(meta) -> bool:
+    """Fused Pallas closest-hit on TPU (6-7x the XLA [B,P] pass and exactly
+    f32 — see ops/pallas_analytic.py); XLA path on CPU and for empty scenes."""
+    import os
+
+    if os.environ.get("QARAY_NO_PALLAS"):
+        return False
+    return (
+        jax.default_backend() == "tpu"
+        and len(meta.analytic_kinds) == meta.num_analytic
+        and meta.num_analytic > 0
+    )
+
+
 def _mesh_closest(scene: SceneArrays, meta: SceneMeta, p, d, t_cur):
     """Closest hit across all mesh instances. Returns (t, inst, tri, bary)."""
     num_rays = p.shape[0]
@@ -40,8 +54,8 @@ def _mesh_closest(scene: SceneArrays, meta: SceneMeta, p, d, t_cur):
     inst = scene.instances
     for i in range(meta.num_mesh_instances):
         m = inst.m_w2o[i]
-        p_obj = (p - inst.t_o2w[i]) @ m.T
-        d_obj = d @ m.T
+        p_obj = jnp.matmul(p - inst.t_o2w[i], m.T, precision="highest")
+        d_obj = jnp.matmul(d, m.T, precision="highest")
         roots = jnp.full((num_rays,), inst.root[i], jnp.int32)
         t, tri, bary, front = traverse_bvh(
             p_obj,
@@ -69,11 +83,11 @@ def _mesh_hit_attrs(scene: SceneArrays, p, d, t, inst_id, tri_id, bary, front):
     m = inst.m_w2o[safe_inst]  # [B,3,3]
 
     n_corners = mesh.tri_n[safe_tri]  # [B,3,3]
-    n_obj = jnp.einsum("bk,bki->bi", bary, n_corners)
-    n_world = normalize(jnp.einsum("bji,bj->bi", m, n_obj), eps=1e-30)
+    n_obj = jnp.einsum("bk,bki->bi", bary, n_corners, precision="highest")
+    n_world = normalize(jnp.einsum("bji,bj->bi", m, n_obj, precision="highest"), eps=1e-30)
 
     uv_corners = mesh.tri_uv[safe_tri]  # [B,3,2]
-    uv = jnp.einsum("bk,bki->bi", bary, uv_corners)
+    uv = jnp.einsum("bk,bki->bi", bary, uv_corners, precision="highest")
     uvw = jnp.concatenate([uv, jnp.zeros_like(uv[:, :1])], axis=-1)
 
     # Material: instance override, or per-face sub-material (MultiMtl).
@@ -136,14 +150,14 @@ def _mesh_diff_uv(scene, p, d, px, dx, py, dy, t, inst_id, tri_id, bary, uvw):
         return jnp.stack([a, b, 1.0 - a - b], axis=-1)
 
     def offset_uv(pw, dw):
-        po = jnp.einsum("bij,bj->bi", m, pw - t0)
-        do = jnp.einsum("bij,bj->bi", m, dw)
+        po = jnp.einsum("bij,bj->bi", m, pw - t0, precision="highest")
+        do = jnp.einsum("bij,bj->bi", m, dw, precision="highest")
         denom = jnp.sum(do * n, axis=-1)
         denom = jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
         t_off = -jnp.sum((po - v0) * n, axis=-1) / denom
         hp = po + t_off[:, None] * do
         bc = bary_at(hp)
-        uv = jnp.einsum("bk,bki->bi", bc, uvc)
+        uv = jnp.einsum("bk,bki->bi", bc, uvc, precision="highest")
         return jnp.concatenate([uv, jnp.zeros_like(uv[:, :1])], axis=-1)
 
     duvw0 = RCP_DX * (offset_uv(px, dx) - uvw)
@@ -164,7 +178,14 @@ def trace_closest(scene: SceneArrays, meta: SceneMeta, p, d, diff=None):
     num_rays = p.shape[0]
 
     if meta.num_analytic > 0:
-        t_a, prim_idx = I.closest_analytic(p, d, scene.analytic)
+        if _use_pallas(meta):
+            from qaray_tpu.ops.pallas_analytic import closest_analytic_pallas
+
+            t_a, prim_idx = closest_analytic_pallas(
+                p, d, scene.analytic, meta.analytic_kinds
+            )
+        else:
+            t_a, prim_idx = I.closest_analytic(p, d, scene.analytic)
     else:
         t_a = jnp.full((num_rays,), BIGFLOAT)
         prim_idx = jnp.zeros((num_rays,), jnp.int32)
@@ -231,15 +252,22 @@ def trace_shadow(scene: SceneArrays, meta: SceneMeta, p, d, t_max):
     occluded = jnp.zeros((num_rays,), bool)
 
     if meta.num_analytic > 0:
-        t_all = I.intersect_analytic_t(p, d, scene.analytic)  # [B, P]
-        occluded |= jnp.any(t_all < t_max[:, None], axis=-1)
+        if _use_pallas(meta):
+            from qaray_tpu.ops.pallas_analytic import shadow_analytic_pallas
+
+            occluded |= shadow_analytic_pallas(
+                p, d, t_max, scene.analytic, meta.analytic_kinds
+            )
+        else:
+            t_all = I.intersect_analytic_t(p, d, scene.analytic)  # [B, P]
+            occluded |= jnp.any(t_all < t_max[:, None], axis=-1)
 
     if meta.num_mesh_instances > 0:
         inst = scene.instances
         for i in range(meta.num_mesh_instances):
             m = inst.m_w2o[i]
-            p_obj = (p - inst.t_o2w[i]) @ m.T
-            d_obj = d @ m.T
+            p_obj = jnp.matmul(p - inst.t_o2w[i], m.T, precision="highest")
+            d_obj = jnp.matmul(d, m.T, precision="highest")
             roots = jnp.full((num_rays,), inst.root[i], jnp.int32)
             # Skip lanes already occluded by zeroing their budget.
             budget = jnp.where(occluded, 0.0, t_max)

@@ -164,3 +164,6 @@ class SceneMeta(NamedTuple):
     # Per-light static facts (kinds drive which illumination code is traced).
     light_kinds: tuple = ()  # of LIGHT_* ints
     light_soft: tuple = ()  # of bools: size > 0.01 => area shadow sampling
+    # Analytic primitive kinds (static: specializes the Pallas closest-hit
+    # kernel's per-primitive branch at trace time).
+    analytic_kinds: tuple = ()

@@ -446,6 +446,7 @@ class SceneCompiler:
             has_ambient=any(l.kind == "ambient" for l in self.scene.lights),
             light_kinds=tuple(_LIGHT_KIND[l.kind] for l in self.scene.lights),
             light_soft=tuple(bool(l.size > 0.01) for l in self.scene.lights),
+            analytic_kinds=tuple(int(k) for k in b.analytic_kind),
         )
         return arrays, meta
 
