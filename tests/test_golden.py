@@ -95,6 +95,34 @@ def test_feature_scene_golden(name, spp, tol):
     assert diff.mean() < tol, f"{name} diff {diff.mean():.4f}"
 
 
+@pytest.mark.slow
+def test_photon_map_golden(inputs_dir):
+    """Full photon-mapping pipeline vs the reference with -use-photon-map:
+    emission + RR scatter + caustics gating + quadratic-filter gathering.
+    Both sides build independent random photon maps, so the comparison
+    carries map-level estimator noise on top of pixel MC noise — the 0.06
+    tolerance reflects that (block-mean observed ~0.035 at 16spp/10k
+    photons; images share the caustic ring structure)."""
+    golden_path = os.path.join(GOLDEN_DIR, "trc_mtl_glass_photonmap_16spp.png")
+    if not os.path.exists(golden_path):
+        pytest.skip("photon golden missing")
+    from qaray_tpu.renderer import Renderer, RendererParam
+
+    scene = load_scene(f"{inputs_dir}/trc_mtl_glass.xml")
+    scene.camera.img_width = 200
+    scene.camera.img_height = 150
+    p = RendererParam(
+        spp_min=16, spp_max=16, integrator="photonmap", use_photon_map=True
+    )
+    r = Renderer(p)
+    r.compute_scene(scene)
+    fb = r.render()
+    ours = fb.img.reshape(150, 200, 3).astype(np.float32) / 255.0
+    golden = _load_png(golden_path)
+    diff = np.abs(_block_mean(golden) - _block_mean(ours))
+    assert diff.mean() < 0.06, f"photon diff {diff.mean():.4f}"
+
+
 def test_texture_filter_golden():
     """Checkerboard minification: validates the 32-sample elliptic footprint
     filter driven by primary-ray differentials (reference
