@@ -93,11 +93,15 @@ class Renderer:
         self.scene_arrays, self.meta = compile_scene(scene_desc)
         self.fb = FrameBuffer(self.meta.img_width, self.meta.img_height)
         if self.param.use_photon_map:
-            from qaray_tpu.photon.build import build_photon_maps
+            from qaray_tpu.photon.build import build_photon_maps, save_photon_map
 
             self.photon_maps = build_photon_maps(
                 self.scene_arrays, self.meta, self.param
             )
+            # Reference dumps both maps for the viz tool
+            # (renderer.cpp:204-209, 284-289); same files, same layout.
+            save_photon_map(self.photon_maps[0], "photonmap.dat")
+            save_photon_map(self.photon_maps[1], "caustics.dat")
         return self.scene_arrays, self.meta
 
     def signal_stop(self):

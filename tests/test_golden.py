@@ -23,6 +23,10 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 
 CASES = [
     # (scene, spp, block-mean tolerance)
+    # trc_scene_*: spot lights + partial assets (OBJs missing upstream —
+    # both renderers skip them identically).
+    ("trc_scene_simple.xml", 16, 0.02),
+    ("trc_scene_tower.xml", 16, 0.03),
     ("example_project2_blinn.xml", 16, 0.015),
     ("example_project3_box.xml", 16, 0.02),
     ("example_project3_sphere.xml", 16, 0.02),
