@@ -74,6 +74,10 @@ def main():
         details["mesh_scene_rays_per_s"] = _mesh_bench()
     except Exception as e:  # mesh bench is best-effort
         details["mesh_scene_error"] = str(e)[:200]
+    try:
+        details["backward_paths_per_s"] = _grad_bench()
+    except Exception as e:
+        details["grad_bench_error"] = str(e)[:200]
     with open("bench_details.json", "w") as f:
         json.dump(details, f, indent=2)
 
@@ -87,6 +91,48 @@ def main():
             }
         )
     )
+
+
+def _grad_bench():
+    """Forward+backward (value_and_grad) path throughput on the box scene.
+
+    The differentiable path runs the XLA intersection kernels (the Pallas
+    kernels are forward-only), so this measures the full autodiff wavefront.
+    """
+    import os
+
+    os.environ["QARAY_NO_PALLAS"] = "1"
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from qaray_tpu.diff import render_value_and_grad
+        from qaray_tpu.integrators.engine import IntegratorConfig
+        from qaray_tpu.scene.compiler import compile_scene
+        from qaray_tpu.scene.xml_parser import load_scene
+
+        scene = load_scene("/root/reference/inputs/example_project3_box.xml")
+        arrays, meta = compile_scene(scene)
+        cfg = IntegratorConfig(integrator="pathtrace", max_bounce=3, shadow_spp=4)
+        batch = 1 << 18
+        ids = np.arange(batch, dtype=np.int32)
+        px = jnp.asarray(ids % meta.img_width)
+        py = jnp.asarray((ids // meta.img_width) % meta.img_height)
+        key = jax.random.key(0, impl="rbg")
+
+        def step(s):
+            sids = jnp.full((batch,), s, jnp.int32)
+            return render_value_and_grad(arrays, meta, cfg, px, py, sids, key)
+
+        step(0)[0].block_until_ready()
+        rounds = 5
+        t0 = time.perf_counter()
+        for s in range(1, rounds + 1):
+            loss, grads = step(s)
+        jax.block_until_ready(grads)
+        return rounds * batch / (time.perf_counter() - t0)
+    finally:
+        del os.environ["QARAY_NO_PALLAS"]
 
 
 def _mesh_bench():

@@ -113,6 +113,45 @@ def test_grad_diffuse_multibounce_close(setup):
     _fd_check(setup, "mtl_diffuse", (0, 1), 1e-3, rtol=0.1)
 
 
+def test_pixel_gradient_vs_fd(setup):
+    """Per-PIXEL gradient parity (the BASELINE metric: pixel-gradient
+    max-err vs finite differences): d(pixel RGB)/d(light intensity) via a
+    one-hot VJP cotangent, checked against central differences for several
+    pixels."""
+    scene, meta, cfg, px, py, sample_ids, key = setup
+    params = extract_params(scene)
+
+    def radiance_fn(p):
+        return render_with_params(scene, meta, cfg, p, px, py, sample_ids, key)
+
+    base = radiance_fn(params)
+    _, vjp = jax.vjp(radiance_fn, params)
+
+    delta = 1e-2
+    pl = radiance_fn(
+        params._replace(
+            light_intensity=params.light_intensity.at[(1, 0)].add(delta)
+        )
+    )
+    pm = radiance_fn(
+        params._replace(
+            light_intensity=params.light_intensity.at[(1, 0)].add(-delta)
+        )
+    )
+    fd_image = (np.asarray(pl) - np.asarray(pm)) / (2 * delta)  # [B,3]
+
+    # Pick lit pixels spread across the image.
+    lit = np.nonzero(np.asarray(base).sum(axis=1) > 0.01)[0]
+    picks = lit[:: max(1, lit.size // 8)][:8]
+    max_err = 0.0
+    for pix in picks:
+        for ch in range(3):
+            cot = jnp.zeros_like(base).at[pix, ch].set(1.0)
+            g = vjp(cot)[0].light_intensity[1, 0]
+            max_err = max(max_err, abs(float(g) - fd_image[pix, ch]))
+    assert max_err < 1e-4, f"pixel-gradient max-err {max_err:.2e}"
+
+
 def test_grad_glossiness_finite(setup):
     scene, meta, cfg, px, py, sample_ids, key = setup
     _, grads = render_value_and_grad(scene, meta, cfg, px, py, sample_ids, key)
