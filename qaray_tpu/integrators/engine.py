@@ -175,21 +175,26 @@ def _photonmap_vertex(scene, meta, cfg, hits, mtl, v, keys, has_diffuse_hit,
     # ---- continuation sampling ----
     ks = RNG.fold(keys, RNG.P_LOBE_SAMPLE)
 
-    # Reflection: glossy jitter or mirror (SampleReflectionBxDF).
-    refl_glossy = mtl.reflection_glossiness > 0.0
-    refl_dir_g = C.glossy_jitter_dir(
-        fr.r_dir, fr.y_axis, mtl.reflection_glossiness,
-        RNG.fold(ks, 11), want_up=True, attempts=cfg.glossy_attempts,
-    )
-    refl_dir = jnp.where(refl_glossy[:, None], refl_dir_g, fr.r_dir)
+    if meta.has_glossy:
+        # Reflection: glossy jitter or mirror (SampleReflectionBxDF).
+        refl_glossy = mtl.reflection_glossiness > 0.0
+        refl_dir_g = C.glossy_jitter_dir(
+            fr.r_dir, fr.y_axis, mtl.reflection_glossiness,
+            RNG.fold(ks, 11), want_up=True, attempts=cfg.glossy_attempts,
+        )
+        refl_dir = jnp.where(refl_glossy[:, None], refl_dir_g, fr.r_dir)
 
-    # Transmission: glossy jitter or refract (SampleTransmitBxDF).
-    refr_glossy = mtl.refraction_glossiness > 0.0
-    trans_dir_g = C.glossy_jitter_dir(
-        fr.t_dir, fr.y_axis, mtl.refraction_glossiness,
-        RNG.fold(ks, 12), want_up=False, attempts=cfg.glossy_attempts,
-    )
-    trans_dir = jnp.where(refr_glossy[:, None], trans_dir_g, fr.t_dir)
+        # Transmission: glossy jitter or refract (SampleTransmitBxDF).
+        refr_glossy = mtl.refraction_glossiness > 0.0
+        trans_dir_g = C.glossy_jitter_dir(
+            fr.t_dir, fr.y_axis, mtl.refraction_glossiness,
+            RNG.fold(ks, 12), want_up=False, attempts=cfg.glossy_attempts,
+        )
+        trans_dir = jnp.where(refr_glossy[:, None], trans_dir_g, fr.t_dir)
+    else:
+        # No glossy materials in the scene (static): mirror/refract exactly.
+        refl_dir = fr.r_dir
+        trans_dir = fr.t_dir
 
     # Diffuse: cosine hemisphere around N (SampleDiffuseBxDF, photonMap=False).
     u = RNG.uniform(RNG.fold(ks, 13), (2,))
@@ -377,19 +382,23 @@ def _basic_family_vertex(scene, meta, cfg, hits, mtl, v, keys, has_diffuse_hit,
     # (MtlBlinn_Basic.cpp:58-66; radius is the raw glossiness value).
     from qaray_tpu.core.warps import uniform_ball_ref
 
-    refr_glossy = mtl.refraction_glossiness > 0.001
-    refl_glossy = mtl.reflection_glossiness > 0.001
-    kb = RNG.fold(keys, RNG.P_GLOSSY)
-    u_t = RNG.uniform(RNG.fold(kb, 0), (4, 2))
-    u_r = RNG.uniform(RNG.fold(kb, 1), (4, 2))
-    tj = normalize(
-        n + uniform_ball_ref(u_t, mtl.refraction_glossiness), eps=1e-30
-    )
-    rj = normalize(
-        n + uniform_ball_ref(u_r, mtl.reflection_glossiness), eps=1e-30
-    )
-    tjn = jnp.where(refr_glossy[:, None], tj, n)
-    rjn = jnp.where(refl_glossy[:, None], rj, n)
+    if meta.has_glossy:
+        refr_glossy = mtl.refraction_glossiness > 0.001
+        refl_glossy = mtl.reflection_glossiness > 0.001
+        kb = RNG.fold(keys, RNG.P_GLOSSY)
+        u_t = RNG.uniform(RNG.fold(kb, 0), (4, 2))
+        u_r = RNG.uniform(RNG.fold(kb, 1), (4, 2))
+        tj = normalize(
+            n + uniform_ball_ref(u_t, mtl.refraction_glossiness), eps=1e-30
+        )
+        rj = normalize(
+            n + uniform_ball_ref(u_r, mtl.reflection_glossiness), eps=1e-30
+        )
+        tjn = jnp.where(refr_glossy[:, None], tj, n)
+        rjn = jnp.where(refl_glossy[:, None], rj, n)
+    else:
+        tjn = n
+        rjn = n
 
     n_ior = jnp.where(front, 1.0 / mtl.ior, mtl.ior)
     cos_i = dot(tjn, v)

@@ -68,22 +68,26 @@ def _photon_bounce(scene, meta, hits, mtl, v, keys, glossy_attempts=4):
     )
 
     ks = RNG.fold(keys, RNG.P_LOBE_SAMPLE)
-    refl_glossy = mtl.reflection_glossiness > 0.0
-    refl_dir = jnp.where(
-        refl_glossy[:, None],
-        C.glossy_jitter_dir(fr.r_dir, fr.y_axis, mtl.reflection_glossiness,
-                            RNG.fold(ks, 11), want_up=True,
-                            attempts=glossy_attempts),
-        fr.r_dir,
-    )
-    refr_glossy = mtl.refraction_glossiness > 0.0
-    trans_dir = jnp.where(
-        refr_glossy[:, None],
-        C.glossy_jitter_dir(fr.t_dir, fr.y_axis, mtl.refraction_glossiness,
-                            RNG.fold(ks, 12), want_up=False,
-                            attempts=glossy_attempts),
-        fr.t_dir,
-    )
+    if meta.has_glossy:
+        refl_glossy = mtl.reflection_glossiness > 0.0
+        refl_dir = jnp.where(
+            refl_glossy[:, None],
+            C.glossy_jitter_dir(fr.r_dir, fr.y_axis, mtl.reflection_glossiness,
+                                RNG.fold(ks, 11), want_up=True,
+                                attempts=glossy_attempts),
+            fr.r_dir,
+        )
+        refr_glossy = mtl.refraction_glossiness > 0.0
+        trans_dir = jnp.where(
+            refr_glossy[:, None],
+            C.glossy_jitter_dir(fr.t_dir, fr.y_axis, mtl.refraction_glossiness,
+                                RNG.fold(ks, 12), want_up=False,
+                                attempts=glossy_attempts),
+            fr.t_dir,
+        )
+    else:
+        refl_dir = fr.r_dir
+        trans_dir = fr.t_dir
     # Photon-mode diffuse: uniform hemisphere, PDF = 0.5
     # (SampleDiffuseBxDF photonMap=true, MtlBlinn_PhotonMap.cpp:203-224).
     u = RNG.uniform(RNG.fold(ks, 13), (2,))

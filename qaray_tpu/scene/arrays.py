@@ -167,3 +167,7 @@ class SceneMeta(NamedTuple):
     # Analytic primitive kinds (static: specializes the Pallas closest-hit
     # kernel's per-primitive branch at trace time).
     analytic_kinds: tuple = ()
+    # Any material with reflection/refraction glossiness > 0 (static: lets
+    # the engine skip the glossy-jitter sampling entirely for the common
+    # non-glossy scene).
+    has_glossy: bool = False
