@@ -48,18 +48,22 @@ class MtlSamples(NamedTuple):
 
 
 def gather_materials(scene: SceneArrays, mtl_id, uvw, has_texture,
-                     duvw=None) -> MtlSamples:
+                     duvw=None, textured: bool = True) -> MtlSamples:
     """Gather + texture-sample all material params for B lanes.
 
     duvw: optional (duvw0, duvw1) texture footprints; when given, textured
     slots use the reference's 32-sample elliptic footprint filter (primary
-    hits; core/texture.cpp:32-52)."""
+    hits; core/texture.cpp:32-52).
+    textured: static flag (meta.has_mtl_textures) — False skips all texture
+    sampling (exact for scenes whose material slots carry no live texture)."""
     mt = scene.materials
     mid = jnp.maximum(mtl_id, 0)
 
     from qaray_tpu.ops.texture import sample_textured_color_filtered
 
     def slot(colors, slot_idx):
+        if not textured:
+            return colors[mid]
         if duvw is not None:
             return sample_textured_color_filtered(
                 scene.textures,

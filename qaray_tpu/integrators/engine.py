@@ -540,6 +540,11 @@ def integrate(scene: SceneArrays, meta: SceneMeta, cfg: IntegratorConfig,
     pending_absorption = jnp.zeros((num, 3), jnp.float32)
     t0 = jnp.full((num,), BIGFLOAT, jnp.float32)
 
+    # Texture footprints only feed texture filtering — skip the differential
+    # hit machinery entirely for untextured scenes (static).
+    if not meta.has_mtl_textures:
+        diff = None
+
     for bounce in range(cfg.max_bounce + 1):
         hits = trace_closest(scene, meta, p, d, diff=diff if bounce == 0 else None)
         hit = hits["hit"] & alive
@@ -547,13 +552,16 @@ def integrate(scene: SceneArrays, meta: SceneMeta, cfg: IntegratorConfig,
 
         if bounce == 0:
             t0 = jnp.where(hits["hit"], hits["t"], BIGFLOAT)
-            if screen_uv is not None:
+            if screen_uv is not None and meta.has_bg_texture:
                 bg = sample_background(scene.textures, scene.background, screen_uv)
             else:
                 bg = jnp.broadcast_to(scene.background.color, (num, 3))
             radiance = radiance + jnp.where(miss[:, None], beta * bg, 0.0)
         else:
-            env = sample_environment(scene.textures, scene.environment, d)
+            if meta.has_env_texture:
+                env = sample_environment(scene.textures, scene.environment, d)
+            else:
+                env = jnp.broadcast_to(scene.environment.color, (num, 3))
             radiance = radiance + jnp.where(miss[:, None], beta * env, 0.0)
 
         alive = hit
@@ -566,6 +574,7 @@ def integrate(scene: SceneArrays, meta: SceneMeta, cfg: IntegratorConfig,
         mtl = C.gather_materials(
             scene, hits["mtl"], hits["uvw"], hits["has_texture"],
             duvw=(hits["duvw0"], hits["duvw1"]) if "duvw0" in hits else None,
+            textured=meta.has_mtl_textures,
         )
         v = -d  # unit: d is normalized
         keys = RNG.fold(ray_keys, 1000 + bounce)

@@ -161,7 +161,8 @@ def trace_photon_paths(scene: SceneArrays, meta: SceneMeta, base_key,
     for bounce in range(bounces):
         hits = trace_closest(scene, meta, p, d)
         alive = alive & hits["hit"]
-        mtl = C.gather_materials(scene, hits["mtl"], hits["uvw"], hits["has_texture"])
+        mtl = C.gather_materials(scene, hits["mtl"], hits["uvw"], hits["has_texture"],
+                                 textured=meta.has_mtl_textures)
         base_diffuse_luma = luma(scene.materials.diffuse[jnp.maximum(hits["mtl"], 0)])
         is_photon_surface = base_diffuse_luma > 0.0
 

@@ -171,3 +171,10 @@ class SceneMeta(NamedTuple):
     # the engine skip the glossy-jitter sampling entirely for the common
     # non-glossy scene).
     has_glossy: bool = False
+    # Static texture presence: when False the engine skips all texture
+    # sampling machinery (the 32-sample footprint filter over 5 material
+    # slots dominates untextured scenes otherwise — e.g. trc_scene_xmas,
+    # whose texture files are missing upstream).
+    has_mtl_textures: bool = True
+    has_bg_texture: bool = True
+    has_env_texture: bool = True

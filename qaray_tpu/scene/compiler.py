@@ -72,6 +72,7 @@ class SceneCompiler:
         self.tex_index: Dict[int, int] = {}  # id(TextureDesc) -> atlas index
         self.textures: List[D.TextureDesc] = []
         self.mesh_cache: Dict[int, dict] = {}  # id(MeshDesc) -> mesh record
+        self.has_mtl_textures = False  # set by _material_table
 
     # -- materials ------------------------------------------------------------
 
@@ -236,20 +237,39 @@ class SceneCompiler:
         tex_m = np.broadcast_to(np.eye(3, dtype=np.float32), (m, NUM_SLOTS, 3, 3)).copy()
         tex_t = np.zeros((m, NUM_SLOTS, 3), np.float32)
         slots = ["diffuse", "specular", "emission", "reflection", "refraction"]
+        # Slots whose texture failed to load sample as color*0 in the
+        # reference (TextureFile::Sample with width+height==0,
+        # textures/texture.cpp:97-99) — constant-folded here to a black color
+        # with no texture, which is exact for every uv.
+        black_slots = set()
         for i, mat in enumerate(mats):
             for s, slot in enumerate(slots):
                 tc: D.TexturedColor = getattr(mat, slot)
                 if tc.map is not None:
+                    if tc.map.texture.kind == "missing":
+                        black_slots.add((i, slot))
+                        continue
                     tex_id[i, s] = self._intern_texture(tc.map.texture)
                     tex_m[i, s] = np.linalg.inv(tc.map.xform.m).astype(np.float32)
                     tex_t[i, s] = tc.map.xform.t.astype(np.float32)
+        self.has_mtl_textures = bool((tex_id >= 0).any())
+
+        def fold_black(name):
+            def get(x):
+                return getattr(x, name).color
+
+            arr = col(get)
+            for (i, slot) in black_slots:
+                if slot == name:
+                    arr[i] = 0.0
+            return arr
 
         return MaterialTable(
-            diffuse=jnp.asarray(col(lambda x: x.diffuse.color)),
-            specular=jnp.asarray(col(lambda x: x.specular.color)),
-            emission=jnp.asarray(col(lambda x: x.emission.color)),
-            reflection=jnp.asarray(col(lambda x: x.reflection.color)),
-            refraction=jnp.asarray(col(lambda x: x.refraction.color)),
+            diffuse=jnp.asarray(fold_black("diffuse")),
+            specular=jnp.asarray(fold_black("specular")),
+            emission=jnp.asarray(fold_black("emission")),
+            reflection=jnp.asarray(fold_black("reflection")),
+            refraction=jnp.asarray(fold_black("refraction")),
             absorption=jnp.asarray(col(lambda x: x.absorption)),
             glossiness=jnp.asarray(col(lambda x: x.glossiness, ())),
             reflection_glossiness=jnp.asarray(
@@ -333,14 +353,20 @@ class SceneCompiler:
         )
 
     def _env_color(self, tc: D.TexturedColor) -> EnvColor:
-        if tc.map is not None:
+        color = np.asarray(tc.color, np.float32)
+        if tc.map is not None and tc.map.texture.kind == "missing":
+            # Failed texture load: the reference samples it as black, so the
+            # background/environment is color*0 (see _material_table note).
+            color = np.zeros(3, np.float32)
+            tid, m, t = -1, np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
+        elif tc.map is not None:
             tid = self._intern_texture(tc.map.texture)
             m = np.linalg.inv(tc.map.xform.m).astype(np.float32)
             t = tc.map.xform.t.astype(np.float32)
         else:
             tid, m, t = -1, np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
         return EnvColor(
-            color=jnp.asarray(np.asarray(tc.color, np.float32)),
+            color=jnp.asarray(color),
             tex_id=jnp.asarray(np.int32(tid)),
             tex_m=jnp.asarray(m),
             tex_t=jnp.asarray(t),
@@ -451,6 +477,9 @@ class SceneCompiler:
                 m.reflection_glossiness > 0 or m.refraction_glossiness > 0
                 for m in self.materials
             ),
+            has_mtl_textures=self.has_mtl_textures,
+            has_bg_texture=_live_texture(self.scene.background),
+            has_env_texture=_live_texture(self.scene.environment),
         )
         return arrays, meta
 
@@ -463,6 +492,10 @@ class SceneCompiler:
     # Backward-compat ordering: environment/background textures must be
     # interned before the atlas is built, so compile() calls _env_color before
     # _texture_atlas. Handled by calling order below.
+
+
+def _live_texture(tc: D.TexturedColor) -> bool:
+    return tc.map is not None and tc.map.texture.kind != "missing"
 
 
 def _default_material() -> D.MaterialDesc:

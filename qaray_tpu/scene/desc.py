@@ -66,7 +66,7 @@ class TextureDesc:
     """A texture resource: procedural checker or an image file."""
 
     name: str
-    kind: str  # 'checker' | 'file'
+    kind: str  # 'checker' | 'file' | 'missing' (failed load: samples black)
     color1: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
     color2: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
     # For 'file': HxWx3 float image (loaded lazily by the compiler).

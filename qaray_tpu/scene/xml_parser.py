@@ -326,10 +326,18 @@ class SceneParser:
                 import sys
 
                 print(f'ERROR: Cannot load texture "{tex_name}".', file=sys.stderr)
-                return None
-            from qaray_tpu.scene.textures import load_image
+                # The reference KEEPS a failed-to-load texture: TextureFile
+                # with width+height==0 samples as (0,0,0)
+                # (textures/texture.cpp:97-99), so TexturedColor::Sample
+                # returns color*0 = black everywhere. kind='missing' lets the
+                # compiler constant-fold that slot to black.
+                tex = D.TextureDesc(name=tex_name, kind="missing")
+            else:
+                from qaray_tpu.scene.textures import load_image
 
-            tex = D.TextureDesc(name=tex_name, kind="file", image=load_image(path))
+                tex = D.TextureDesc(
+                    name=tex_name, kind="file", image=load_image(path)
+                )
             self.textures[tex_name] = tex
         return D.TextureMapDesc(texture=tex)
 

@@ -18,7 +18,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: golden/e2e tests recompile per scene shape;
 # caching across runs cuts suite wall time severalfold after the first run.
-jax.config.update("jax_compilation_cache_dir", "/tmp/qaray_jax_cache")
+# The cache lives inside the repo (committed) so fresh containers start warm
+# — on this 2-core host a cold suite spends tens of minutes in XLA compiles.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), ".jax_cache"),
+)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -34,6 +34,29 @@ CASES = [
     ("trc_mtl_glass.xml", 32, 0.035),
     ("trc_mtl_glossy.xml", 32, 0.035),
     ("trc_mtl_coffee.xml", 32, 0.035),
+    # Full-coverage sweep over every remaining inputs/ scene (OBJ meshes and
+    # texture PNGs are missing upstream; both renderers skip them the same
+    # way, so these exercise each scene's remaining geometry/lights/
+    # materials). Tolerances: diffuse-dominated scenes sit ~0.01, glass/GI
+    # scenes carry more MC variance at the golden's spp.
+    ("example_project5_low.xml", 16, 0.03),
+    ("example_project5_high.xml", 16, 0.03),
+    ("example_project6.xml", 16, 0.03),
+    ("example_project7_checkboard.xml", 16, 0.03),
+    ("example_project7_object.xml", 16, 0.03),
+    ("example_project9.xml", 32, 0.03),
+    ("example_project10_banana.xml", 16, 0.03),
+    ("example_project10_objects.xml", 16, 0.03),
+    ("example_project10_test.xml", 16, 0.03),
+    ("example_project11_box.xml", 32, 0.04),
+    ("example_project11_caustics.xml", 32, 0.04),
+    ("example_project11_teapot.xml", 32, 0.04),
+    ("example_project12_box.xml", 32, 0.04),
+    ("example_project12_caustics_glossy.xml", 32, 0.04),
+    ("example_project12_caustics_perfect.xml", 32, 0.04),
+    ("example_project12_example.xml", 32, 0.04),
+    ("example_project13_example.xml", 32, 0.04),
+    ("trc_scene_xmas.xml", 16, 0.03),
 ]
 
 

@@ -28,6 +28,28 @@ SCENES = [
     ("trc_mtl_glass.xml", 32, 200, 150),
     ("trc_mtl_glossy.xml", 32, 200, 150),
     ("trc_mtl_coffee.xml", 32, 200, 150),
+    # Full-coverage sweep: every remaining inputs/ scene. OBJ meshes are
+    # missing upstream (assets/ ships only renderings), so both renderers
+    # skip them identically and the goldens exercise the remaining
+    # spheres/planes/lights/materials of each scene.
+    ("example_project5_low.xml", 16, 200, 150),
+    ("example_project5_high.xml", 16, 200, 150),
+    ("example_project6.xml", 16, 200, 150),
+    ("example_project7_checkboard.xml", 16, 200, 150),
+    ("example_project7_object.xml", 16, 200, 150),
+    ("example_project9.xml", 32, 200, 150),
+    ("example_project10_banana.xml", 16, 200, 150),
+    ("example_project10_objects.xml", 16, 200, 150),
+    ("example_project10_test.xml", 16, 200, 150),
+    ("example_project11_box.xml", 32, 200, 150),
+    ("example_project11_caustics.xml", 32, 200, 150),
+    ("example_project11_teapot.xml", 32, 200, 150),
+    ("example_project12_box.xml", 32, 200, 150),
+    ("example_project12_caustics_glossy.xml", 32, 200, 150),
+    ("example_project12_caustics_perfect.xml", 32, 200, 150),
+    ("example_project12_example.xml", 32, 200, 150),
+    ("example_project13_example.xml", 32, 200, 150),
+    ("trc_scene_xmas.xml", 16, 200, 150),
 ]
 
 INPUTS = "/root/reference/inputs"
