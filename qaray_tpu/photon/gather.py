@@ -9,11 +9,12 @@ every photon chunk, and the filter-weighted sums become [B,C] x [C,3]
 matmuls that run on the MXU. Photon maps are small (10k default), so the
 sweep is bandwidth-trivial and needs no spatial structure at all.
 
-Deviation from the reference (documented): the <=100-nearest cap is not
-applied — all photons within the radius contribute. The cap only binds in
-regions denser than 100 photons/radius-ball, where the reference's radius
-shrinks; results there are slightly sharper in the reference. Equivalent in
-the usual operating regime of the default map sizes.
+The <=100-nearest cap (EstimateIrradiance<100>) is applied exactly: the
+kd heap's final `dist2[0]` is the distance of the 100th-nearest photon when
+more than 100 lie inside the radius, and both the quadratic filter and the
+pi/2*r^2 area use that shrunken radius. Here the same quantity is the kth
+smallest entry of the dense distance row, found with `lax.top_k` per query
+chunk — identical estimates, no kd-tree.
 """
 
 from functools import partial
@@ -35,13 +36,73 @@ class PhotonMapData(NamedTuple):
     valid: jnp.ndarray  # [P] bool (padding mask)
 
 
-def estimate_irradiance(pmap: PhotonMapData, p, chunk: int = 512):
+def estimate_irradiance(
+    pmap: PhotonMapData,
+    p,
+    chunk: int = 512,
+    max_photons: int | None = 100,
+    q_chunk: int = 1024,
+):
     """Quadratic-filtered irradiance + mean direction at query points p [B,3].
 
     Port of cyPhotonMap::EstimateIrradiance (FILTER_TYPE_QUADRATIC):
-        irrad = sum_i (1 - d_i^2/r^2) * power_i / (pi/2 * r^2)
-        dir   = normalize(sum_i (1 - d_i^2/r^2) * maxPower_i * dir_i)
+        irrad = sum_i (1 - d_i^2/r_eff^2) * power_i / (pi/2 * r_eff^2)
+        dir   = normalize(sum_i (1 - d_i^2/r_eff^2) * maxPower_i * dir_i)
+    where r_eff^2 = min(radius^2, d2 of the `max_photons`-th nearest photon)
+    — the kd heap's final dist2[0] (cyPhotonMap.h:356-357,385).
+
+    max_photons=None disables the cap and runs the cheaper photon-chunked
+    MXU sweep (all in-radius photons contribute with r_eff = radius).
     """
+    if max_photons is not None:
+        return _estimate_capped(pmap, p, max_photons, q_chunk)
+    return _estimate_uncapped(pmap, p, chunk)
+
+
+def _estimate_capped(pmap: PhotonMapData, p, max_photons: int, q_chunk: int):
+    num_photons = pmap.pos.shape[0]
+    num_q = p.shape[0]
+    r2 = pmap.radius * pmap.radius
+
+    pad_p = (-num_photons) % 128
+    pos = jnp.pad(pmap.pos, ((0, pad_p), (0, 0)))
+    power = jnp.pad(pmap.power, ((0, pad_p), (0, 0)))
+    maxp = jnp.pad(pmap.max_power, (0, pad_p))
+    pdir = jnp.pad(pmap.direction, ((0, pad_p), (0, 0)))
+    valid = jnp.pad(pmap.valid, (0, pad_p))
+    total_p = num_photons + pad_p
+    k = min(max_photons, total_p)
+
+    q_chunk = min(q_chunk, max(num_q, 1))
+    pad_q = (-num_q) % q_chunk
+    q = jnp.pad(p, ((0, pad_q), (0, 0)))
+    n_chunks = (num_q + pad_q) // q_chunk
+
+    def one_chunk(qc):  # [Qc, 3] -> ([Qc,3], [Qc,3])
+        d2 = jnp.sum((qc[:, None, :] - pos[None, :, :]) ** 2, axis=-1)
+        d2 = jnp.where(valid[None, :], d2, jnp.inf)  # [Qc, P]
+        # dist2[0] semantics (cyPhotonMap.h:497): it shrinks to the heap max
+        # (= kth-nearest distance) only via the replacement branch, i.e. only
+        # when STRICTLY MORE than k photons lie inside the radius; with <= k
+        # found it stays radius^2.
+        kth = -jax.lax.top_k(-d2, k)[0][:, -1]
+        count = jnp.sum(d2 < r2, axis=-1)
+        r_eff2 = jnp.where(count > k, jnp.minimum(r2, kth), r2)
+        r_eff2 = jnp.maximum(r_eff2, 1e-30)
+        w = jnp.maximum(0.0, 1.0 - d2 / r_eff2[:, None])  # inf rows -> 0
+        irrad = jnp.dot(w, power, preferred_element_type=jnp.float32)
+        dsum = jnp.dot(w * maxp[None, :], pdir, preferred_element_type=jnp.float32)
+        area = jnp.pi * 0.5 * r_eff2
+        return irrad / area[:, None], normalize(dsum, eps=1e-30)
+
+    irrad, direction = jax.lax.map(one_chunk, q.reshape(n_chunks, q_chunk, 3))
+    return (
+        irrad.reshape(-1, 3)[:num_q],
+        direction.reshape(-1, 3)[:num_q],
+    )
+
+
+def _estimate_uncapped(pmap: PhotonMapData, p, chunk: int = 512):
     num_photons = pmap.pos.shape[0]
     r2 = pmap.radius * pmap.radius
     pad = (-num_photons) % chunk

@@ -24,13 +24,20 @@ def _make_map(n=300, radius=0.5, seed=0):
     ), pos, power, d
 
 
-def _reference_estimate(pos, power, pdir, radius, q):
-    """Direct port of EstimateIrradiance (quadratic filter, no kNN cap)."""
+def _reference_estimate(pos, power, pdir, radius, q, max_photons=100):
+    """Direct port of EstimateIrradiance<100> (quadratic filter): when more
+    than max_photons photons lie inside the radius, the kd heap's dist2[0]
+    shrinks to the kth-nearest distance, used by filter AND area
+    (cyPhotonMap.h:356-357,376-385)."""
     r2 = radius * radius
     d2 = np.sum((pos - q) ** 2, axis=1)
-    sel = d2 < r2
-    w = (1.0 - d2 / r2)[sel]
-    irrad = (w[:, None] * power[sel]).sum(axis=0) / (np.pi * 0.5 * r2)
+    if max_photons is not None and (d2 < r2).sum() > max_photons:
+        r_eff2 = np.sort(d2)[max_photons - 1]
+    else:
+        r_eff2 = r2
+    sel = d2 < r_eff2
+    w = (1.0 - d2 / r_eff2)[sel]
+    irrad = (w[:, None] * power[sel]).sum(axis=0) / (np.pi * 0.5 * r_eff2)
     maxp = power[sel].max(axis=1) if sel.any() else np.zeros(0)
     dsum = (w[:, None] * maxp[:, None] * pdir[sel]).sum(axis=0)
     norm = np.linalg.norm(dsum)
@@ -49,6 +56,39 @@ def test_estimate_matches_reference_port():
         np.testing.assert_allclose(irrad[i], expect_i, rtol=1e-4, atol=1e-5)
         if np.linalg.norm(expect_d) > 0:
             np.testing.assert_allclose(direction[i], expect_d, atol=1e-4)
+
+
+def test_knn_cap_binds_like_reference_heap():
+    """Dense cluster: >100 photons inside the radius must shrink the
+    effective radius to the 100th-nearest distance (EstimateIrradiance<100>);
+    exactly-100 and fewer-than-100 regions must keep the full radius."""
+    rs = np.random.RandomState(7)
+    pos = (rs.uniform(-0.2, 0.2, (400, 3))).astype(np.float32)  # dense ball
+    power = rs.uniform(0, 0.1, (400, 3)).astype(np.float32)
+    d = rs.normal(size=(400, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    pmap = PhotonMapData(
+        pos=jnp.asarray(pos),
+        power=jnp.asarray(power),
+        max_power=jnp.asarray(power.max(axis=1)),
+        direction=jnp.asarray(d),
+        radius=jnp.asarray(np.float32(0.5)),
+        valid=jnp.asarray(np.ones(400, bool)),
+    )
+    qs = np.concatenate(
+        [np.zeros((1, 3)), np.array([[5.0, 0, 0]]), rs.uniform(-0.3, 0.3, (6, 3))]
+    ).astype(np.float32)
+    assert ((pos - qs[0]) ** 2).sum(axis=1).__lt__(0.25).sum() > 100  # binds
+    irrad, direction = estimate_irradiance(pmap, jnp.asarray(qs))
+    for i, q in enumerate(qs):
+        expect_i, expect_d = _reference_estimate(pos, power, d, 0.5, q)
+        np.testing.assert_allclose(
+            np.asarray(irrad)[i], expect_i, rtol=2e-4, atol=1e-5
+        )
+        if np.linalg.norm(expect_d) > 0:
+            np.testing.assert_allclose(
+                np.asarray(direction)[i], expect_d, atol=2e-4
+            )
 
 
 def test_padding_invariance():
