@@ -44,8 +44,20 @@ def _use_pallas(meta) -> bool:
 
 
 def _mesh_closest(scene: SceneArrays, meta: SceneMeta, p, d, t_cur):
-    """Closest hit across all mesh instances. Returns (t, inst, tri, bary)."""
+    """Closest hit across all mesh instances. Returns (t, inst, tri, bary).
+
+    With meta.world_bvh (the default compile mode) all instances were baked
+    into ONE world-space tree at compile time, so this is a single traversal
+    with no ray transforms; otherwise fall back to the sequential
+    per-instance object-space loop."""
     num_rays = p.shape[0]
+    if meta.world_bvh:
+        roots = jnp.zeros((num_rays,), jnp.int32)
+        t, tri, bary, front = traverse_bvh(
+            p, d, roots, t_cur, scene.mesh, stack_size=meta.bvh_depth + 2
+        )
+        inst0 = jnp.where(tri >= 0, 0, -1).astype(jnp.int32)
+        return t, inst0, tri, bary, front
     best_t = t_cur
     best_inst = jnp.full((num_rays,), -1, jnp.int32)
     best_tri = jnp.full((num_rays,), -1, jnp.int32)
@@ -263,6 +275,15 @@ def trace_shadow(scene: SceneArrays, meta: SceneMeta, p, d, t_max):
             occluded |= jnp.any(t_all < t_max[:, None], axis=-1)
 
     if meta.num_mesh_instances > 0:
+        if meta.world_bvh:
+            roots = jnp.zeros((num_rays,), jnp.int32)
+            budget = jnp.where(occluded, 0.0, t_max)
+            t, tri, _, _ = traverse_bvh(
+                p, d, roots, budget, scene.mesh,
+                stack_size=meta.bvh_depth + 2, any_hit=True,
+            )
+            occluded |= (tri >= 0) & (t < t_max)
+            return occluded
         inst = scene.instances
         for i in range(meta.num_mesh_instances):
             m = inst.m_w2o[i]

@@ -89,8 +89,8 @@ class Renderer:
 
     # -- lifecycle (reference Renderer::Init/ComputeScene/Render) -------------
 
-    def compute_scene(self, scene_desc):
-        self.scene_arrays, self.meta = compile_scene(scene_desc)
+    def compute_scene(self, scene_desc, world_bvh: bool = True):
+        self.scene_arrays, self.meta = compile_scene(scene_desc, world_bvh=world_bvh)
         self.fb = FrameBuffer(self.meta.img_width, self.meta.img_height)
         if self.param.use_photon_map:
             from qaray_tpu.photon.build import build_photon_maps, save_photon_map

@@ -178,3 +178,7 @@ class SceneMeta(NamedTuple):
     has_mtl_textures: bool = True
     has_bg_texture: bool = True
     has_env_texture: bool = True
+    # World-space merged mesh BVH: all instances baked into one tree, so the
+    # single "instance" carries an identity transform and mesh tracing skips
+    # the world<->object transforms entirely (scene/compiler.py).
+    world_bvh: bool = False

@@ -60,12 +60,26 @@ class _Builder:
     inst_mtl: list = dataclasses.field(default_factory=list)
     inst_m: list = dataclasses.field(default_factory=list)
     inst_t: list = dataclasses.field(default_factory=list)
+    inst_world: list = dataclasses.field(default_factory=list)  # (M_o2w, t)
 
 
 class SceneCompiler:
-    def __init__(self, scene: D.SceneDesc, max_leaf: int = 4):
+    def __init__(
+        self,
+        scene: D.SceneDesc,
+        max_leaf: int = 4,
+        world_bvh: bool = True,
+        world_bvh_max_tris: int = 8_000_000,
+    ):
         self.scene = scene
         self.max_leaf = max_leaf
+        # World-space instance baking (one merged BVH, no per-instance loop);
+        # falls back to per-mesh object-space BVHs when instancing would
+        # duplicate more than world_bvh_max_tris triangles.
+        import os
+
+        self.world_bvh = world_bvh and not os.environ.get("QARAY_NO_WORLD_BVH")
+        self.world_bvh_max_tris = world_bvh_max_tris
         self.mtl_index: Dict[int, int] = {}  # id(MaterialDesc) -> table index
         self.mtl_multi_base: Dict[int, Tuple[int, int]] = {}  # -> (base, count)
         self.materials: List[D.MaterialDesc] = []
@@ -123,6 +137,7 @@ class SceneCompiler:
             b.inst_mesh.append((node.mesh, single, base, nsub))
             b.inst_m.append(np.linalg.inv(world.m))
             b.inst_t.append(world.t)
+            b.inst_world.append((world.m, world.t))
         for child in node.children:
             self._flatten(child, world, b)
 
@@ -140,35 +155,7 @@ class SceneCompiler:
             key = id(mesh)
             if key in mesh_records:
                 continue
-            v = mesh.vertices[mesh.faces]  # [F,3,3]
-            if mesh.normals is not None and mesh.face_normals is not None:
-                fn = np.where(mesh.face_normals < 0, 0, mesh.face_normals)
-                n = mesh.normals[fn]
-                # Faces with no normal index: flat face normal.
-                flat = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
-                flat = flat / np.maximum(
-                    np.linalg.norm(flat, axis=1, keepdims=True), 1e-20
-                )
-                missing = (mesh.face_normals < 0).any(axis=1)
-                n = np.where(missing[:, None, None], flat[:, None, :], n)
-            else:
-                flat = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
-                flat = flat / np.maximum(
-                    np.linalg.norm(flat, axis=1, keepdims=True), 1e-20
-                )
-                n = np.repeat(flat[:, None, :], 3, axis=1)
-            if mesh.texcoords is not None and mesh.face_texcoords is not None:
-                ft = np.where(mesh.face_texcoords < 0, 0, mesh.face_texcoords)
-                uv = mesh.texcoords[ft]
-                has_uv = ~(mesh.face_texcoords < 0).any(axis=1)
-            else:
-                uv = np.zeros((v.shape[0], 3, 2), np.float32)
-                has_uv = np.zeros((v.shape[0],), bool)
-            fm = (
-                mesh.face_materials
-                if mesh.face_materials is not None
-                else -np.ones((v.shape[0],), np.int32)
-            )
+            v, n, uv, has_uv, fm = self._mesh_face_data(mesh)
 
             bvh = bvh_mod.build_bvh(v, self.max_leaf)
             max_depth = max(max_depth, bvh_mod.bvh_depth(bvh))
@@ -223,6 +210,118 @@ class SceneCompiler:
                 bvh_elems=jnp.asarray(np.zeros((0,), np.int32)),
             )
         return mesh_arrays, mesh_records, max_depth
+
+    def _mesh_face_data(self, mesh: D.MeshDesc):
+        """Per-face object-space (v [F,3,3], n [F,3,3], uv [F,3,2],
+        has_uv [F], face_mtl [F]) — shared by both BVH build modes."""
+        v = mesh.vertices[mesh.faces]  # [F,3,3]
+        if mesh.normals is not None and mesh.face_normals is not None:
+            fn = np.where(mesh.face_normals < 0, 0, mesh.face_normals)
+            n = mesh.normals[fn]
+            flat = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
+            flat = flat / np.maximum(
+                np.linalg.norm(flat, axis=1, keepdims=True), 1e-20
+            )
+            missing = (mesh.face_normals < 0).any(axis=1)
+            n = np.where(missing[:, None, None], flat[:, None, :], n)
+        else:
+            flat = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
+            flat = flat / np.maximum(
+                np.linalg.norm(flat, axis=1, keepdims=True), 1e-20
+            )
+            n = np.repeat(flat[:, None, :], 3, axis=1)
+        if mesh.texcoords is not None and mesh.face_texcoords is not None:
+            ft = np.where(mesh.face_texcoords < 0, 0, mesh.face_texcoords)
+            uv = mesh.texcoords[ft]
+            has_uv = ~(mesh.face_texcoords < 0).any(axis=1)
+        else:
+            uv = np.zeros((v.shape[0], 3, 2), np.float32)
+            has_uv = np.zeros((v.shape[0],), bool)
+        fm = (
+            mesh.face_materials
+            if mesh.face_materials is not None
+            else -np.ones((v.shape[0],), np.int32)
+        )
+        return v, n, uv, has_uv, fm
+
+    def _build_world_mesh_arrays(self, b: _Builder):
+        """World-space instance baking: every mesh instance's triangles are
+        transformed to world space at compile time and ONE merged BVH covers
+        them all, so render-time tracing is a single traversal instead of a
+        sequential per-instance loop (the reference walks its node tree per
+        ray, scene/scene.cpp:50-76; per-instance loops were the literal
+        translation — this is the TPU-native fusion of that walk).
+
+        Equivalences preserved exactly:
+        - `t` parametrization: the reference intersects in node space with an
+          unnormalized transformed direction, so node-space t == world t
+          (core/node.cpp:112-126); intersecting world-space triangles yields
+          the same t.
+        - shading normals: corner normals are pre-multiplied by M_w2o^T
+          (Node::FromNodeCoords' inverse-transpose, core/transform.h:52-61)
+          *unnormalized*; barycentric interpolation commutes with the linear
+          map, and the final normalize matches normalize(M^T (Σ b_i n_i)).
+        - front-face: mirror (negative-determinant) instances flip triangle
+          winding; corners 1<->2 are swapped so the geometric normal keeps
+          its object-space orientation.
+        - materials: per-face sub-material ids are resolved to global table
+          ids at compile time (instance override / MultiMtl base+clip,
+          identical to the render-time resolution in ops/trace.py).
+
+        Returns (MeshArrays, identity-instance arrays dict, bvh_depth).
+        """
+        wv_l, wn_l, uv_l, huv_l, mtl_l = [], [], [], [], []
+        for i, (mesh, single, base, nsub) in enumerate(b.inst_mesh):
+            v, n, uv, has_uv, fm = self._mesh_face_data(mesh)
+            m_o2w, t = b.inst_world[i]
+            m_w2o = b.inst_m[i]
+            wv = v @ m_o2w.T + t
+            wn = n @ m_w2o  # row form of M_w2o^T @ n, unnormalized
+            if np.linalg.det(m_o2w) < 0.0:
+                wv = wv[:, [0, 2, 1]]
+                wn = wn[:, [0, 2, 1]]
+                uv = uv[:, [0, 2, 1]]
+            if single >= 0:
+                mtl = np.full((v.shape[0],), single, np.int32)
+            else:
+                mtl = base + np.clip(fm, 0, max(nsub - 1, 0))
+            wv_l.append(wv.astype(np.float32))
+            wn_l.append(wn.astype(np.float32))
+            uv_l.append(uv.astype(np.float32))
+            huv_l.append(has_uv)
+            mtl_l.append(mtl.astype(np.int32))
+
+        wv = np.concatenate(wv_l)
+        bvh = bvh_mod.build_bvh(wv, self.max_leaf)
+        depth = bvh_mod.bvh_depth(bvh)
+        mesh_arrays = MeshArrays(
+            tri_v=jnp.asarray(wv),
+            tri_n=jnp.asarray(np.concatenate(wn_l)),
+            tri_uv=jnp.asarray(np.concatenate(uv_l)),
+            tri_has_uv=jnp.asarray(np.concatenate(huv_l)),
+            tri_mtl=jnp.asarray(np.concatenate(mtl_l)),
+            bvh_bounds=jnp.asarray(bvh.bounds),
+            bvh_left=jnp.asarray(bvh.left),
+            bvh_right=jnp.asarray(bvh.right),
+            bvh_count=jnp.asarray(bvh.count),
+            bvh_elems=jnp.asarray(bvh.elems),
+        )
+        bbox = (
+            np.concatenate([wv.reshape(-1, 3).min(0), wv.reshape(-1, 3).max(0)])
+            if wv.size
+            else np.array([1, 1, 1, 0, 0, 0], np.float32)
+        )
+        ident = {
+            "root": np.zeros(1, np.int32),
+            "mtl": -np.ones(1, np.int32),  # resolve via per-face table
+            "mtl_base": np.zeros(1, np.int32),
+            # tri_mtl already holds final ids; clip must keep them all.
+            "num_sub_mtl": np.full(1, max(len(self.materials), 1), np.int32),
+            "m_w2o": np.eye(3, dtype=np.float32)[None],
+            "t_o2w": np.zeros((1, 3), np.float32),
+            "obj_bbox": bbox.astype(np.float32)[None],
+        }
+        return mesh_arrays, ident, depth
 
     # -- tables ---------------------------------------------------------------
 
@@ -405,24 +504,43 @@ class SceneCompiler:
         # Root node itself has identity transform; walk children.
         self._flatten_root(b)
 
-        mesh_descs = [rec[0] for rec in b.inst_mesh]
-        mesh_arrays, mesh_records, depth = self._build_mesh_arrays(mesh_descs)
+        n_src_inst = len(b.inst_mesh)
+        total_world_tris = sum(m.faces.shape[0] for m, *_ in b.inst_mesh)
+        use_world = (
+            self.world_bvh
+            and n_src_inst > 0
+            and total_world_tris <= self.world_bvh_max_tris
+        )
 
-        n_inst = len(b.inst_mesh)
-        inst_root = np.zeros(max(n_inst, 1), np.int32)
-        inst_mtl = -np.ones(max(n_inst, 1), np.int32)
-        inst_base = np.zeros(max(n_inst, 1), np.int32)
-        inst_nsub = np.zeros(max(n_inst, 1), np.int32)
-        inst_bbox = np.zeros((max(n_inst, 1), 6), np.float32)
-        for i, (mesh, single, base, nsub) in enumerate(b.inst_mesh):
-            rec = mesh_records[id(mesh)]
-            inst_root[i] = rec["root"]
-            inst_mtl[i] = single
-            inst_base[i] = base
-            inst_nsub[i] = nsub
-            inst_bbox[i] = rec["bbox"]
-        inst_m = np.stack(b.inst_m).astype(np.float32) if n_inst else np.zeros((1, 3, 3), np.float32)
-        inst_t = np.stack(b.inst_t).astype(np.float32) if n_inst else np.zeros((1, 3), np.float32)
+        if use_world:
+            mesh_arrays, ident, depth = self._build_world_mesh_arrays(b)
+            n_inst = 1
+            inst_root = ident["root"]
+            inst_mtl = ident["mtl"]
+            inst_base = ident["mtl_base"]
+            inst_nsub = ident["num_sub_mtl"]
+            inst_bbox = ident["obj_bbox"]
+            inst_m = ident["m_w2o"]
+            inst_t = ident["t_o2w"]
+        else:
+            mesh_descs = [rec[0] for rec in b.inst_mesh]
+            mesh_arrays, mesh_records, depth = self._build_mesh_arrays(mesh_descs)
+
+            n_inst = n_src_inst
+            inst_root = np.zeros(max(n_inst, 1), np.int32)
+            inst_mtl = -np.ones(max(n_inst, 1), np.int32)
+            inst_base = np.zeros(max(n_inst, 1), np.int32)
+            inst_nsub = np.zeros(max(n_inst, 1), np.int32)
+            inst_bbox = np.zeros((max(n_inst, 1), 6), np.float32)
+            for i, (mesh, single, base, nsub) in enumerate(b.inst_mesh):
+                rec = mesh_records[id(mesh)]
+                inst_root[i] = rec["root"]
+                inst_mtl[i] = single
+                inst_base[i] = base
+                inst_nsub[i] = nsub
+                inst_bbox[i] = rec["bbox"]
+            inst_m = np.stack(b.inst_m).astype(np.float32) if n_inst else np.zeros((1, 3, 3), np.float32)
+            inst_t = np.stack(b.inst_t).astype(np.float32) if n_inst else np.zeros((1, 3), np.float32)
 
         n_analytic = len(b.analytic_kind)
         if n_analytic:
@@ -480,6 +598,7 @@ class SceneCompiler:
             has_mtl_textures=self.has_mtl_textures,
             has_bg_texture=_live_texture(self.scene.background),
             has_env_texture=_live_texture(self.scene.environment),
+            world_bvh=use_world,
         )
         return arrays, meta
 
@@ -503,9 +622,14 @@ def _default_material() -> D.MaterialDesc:
     return D.MaterialDesc(name="__default__")
 
 
-def compile_scene(scene: D.SceneDesc, max_leaf: int = 4):
-    """Compile a parsed SceneDesc into (SceneArrays, SceneMeta)."""
-    compiler = SceneCompiler(scene, max_leaf=max_leaf)
+def compile_scene(scene: D.SceneDesc, max_leaf: int = 4, world_bvh: bool = True):
+    """Compile a parsed SceneDesc into (SceneArrays, SceneMeta).
+
+    world_bvh=True (default) bakes mesh instances to world space and builds
+    one merged BVH — a single traversal replaces the per-instance loop. Set
+    False (or env QARAY_NO_WORLD_BVH=1) for per-mesh object-space BVHs.
+    """
+    compiler = SceneCompiler(scene, max_leaf=max_leaf, world_bvh=world_bvh)
     # Intern env/background textures first so the atlas includes them.
     bg = compiler._env_color(scene.background)
     env = compiler._env_color(scene.environment)
