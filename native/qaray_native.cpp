@@ -40,8 +40,12 @@ struct BvhOut {
 
 static BvhOut *g_last_bvh = nullptr;
 
+// method: 0 = mean-split (reference cyBVH policy), 1 = binned SAH (16 bins,
+// widest centroid axis; node-for-node identical to
+// qaray_tpu/scene/bvh.py:_build_bvh_sah_numpy — double-precision bin bounds
+// and costs match the float64 NumPy path bitwise).
 int qn_bvh_build(const float *tri_verts, int num_tris, int max_leaf,
-                 int *out_num_nodes, int *out_num_elems) {
+                 int method, int *out_num_nodes, int *out_num_elems) {
   auto *out = new BvhOut();
 
   if (num_tris == 0) {
@@ -119,27 +123,125 @@ int qn_bvh_build(const float *tri_verts, int num_tris, int max_leaf,
       continue;
     }
 
-    // Widest-axis first, argsort(-extent) tie order matches numpy argsort
-    // (stable on equal extents: axis index order).
-    float extent[3] = {bmax[0] - bmin[0], bmax[1] - bmin[1], bmax[2] - bmin[2]};
-    int axes[3] = {0, 1, 2};
-    std::stable_sort(axes, axes + 3,
-                     [&](int a, int b) { return extent[a] > extent[b]; });
-
     std::vector<int64_t> ids_l, ids_r;
     bool split = false;
-    for (int ai = 0; ai < 3 && !split; ++ai) {
-      int axis = axes[ai];
-      float mid = 0.5f * (bmin[axis] + bmax[axis]);
-      ids_l.clear();
-      ids_r.clear();
+
+    if (method == 1) {
+      // --- binned SAH on the widest *centroid* axis ---
+      constexpr int kBins = 16;
+      float cmin[3] = {1e30f, 1e30f, 1e30f};
+      float cmax[3] = {-1e30f, -1e30f, -1e30f};
       for (int64_t id : ids) {
-        if (tctr[id * 3 + axis] < mid)
-          ids_l.push_back(id);
-        else
-          ids_r.push_back(id);
+        for (int k = 0; k < 3; ++k) {
+          cmin[k] = std::min(cmin[k], tctr[id * 3 + k]);
+          cmax[k] = std::max(cmax[k], tctr[id * 3 + k]);
+        }
       }
-      if (!ids_l.empty() && !ids_r.empty()) split = true;
+      int axis = 0;
+      float best_ext = cmax[0] - cmin[0];
+      for (int k = 1; k < 3; ++k) {
+        float e = cmax[k] - cmin[k];
+        if (e > best_ext) {
+          best_ext = e;
+          axis = k;
+        }
+      }
+      if (best_ext > 1e-12f) {
+        double scale = kBins * (1.0 - 1e-6) / (double)best_ext;
+        std::vector<int> bidx(ids.size());
+        long long cnt[kBins] = {0};
+        double binmin[kBins][3], binmax[kBins][3];
+        for (int b = 0; b < kBins; ++b)
+          for (int k = 0; k < 3; ++k) {
+            binmin[b][k] = 1e300;
+            binmax[b][k] = -1e300;
+          }
+        for (size_t i = 0; i < ids.size(); ++i) {
+          int64_t id = ids[i];
+          // float32 subtraction first, then double multiply — matches
+          // (centers - cmin) * scale in the NumPy path exactly.
+          float rel = tctr[id * 3 + axis] - cmin[axis];
+          int b = (int)((double)rel * scale);
+          bidx[i] = b;
+          cnt[b]++;
+          for (int k = 0; k < 3; ++k) {
+            binmin[b][k] = std::min(binmin[b][k], (double)tmin[id * 3 + k]);
+            binmax[b][k] = std::max(binmax[b][k], (double)tmax[id * 3 + k]);
+          }
+        }
+        auto half_area = [](const double *lo, const double *hi) {
+          double e0 = std::max(hi[0] - lo[0], 0.0);
+          double e1 = std::max(hi[1] - lo[1], 0.0);
+          double e2 = std::max(hi[2] - lo[2], 0.0);
+          return e0 * e1 + e1 * e2 + e2 * e0;
+        };
+        double lmin[kBins][3], lmax[kBins][3], rmin[kBins][3], rmax[kBins][3];
+        long long lcnt[kBins], rcnt[kBins];
+        for (int k = 0; k < 3; ++k) {
+          lmin[0][k] = binmin[0][k];
+          lmax[0][k] = binmax[0][k];
+          rmin[kBins - 1][k] = binmin[kBins - 1][k];
+          rmax[kBins - 1][k] = binmax[kBins - 1][k];
+        }
+        lcnt[0] = cnt[0];
+        rcnt[kBins - 1] = cnt[kBins - 1];
+        for (int b = 1; b < kBins; ++b) {
+          lcnt[b] = lcnt[b - 1] + cnt[b];
+          for (int k = 0; k < 3; ++k) {
+            lmin[b][k] = std::min(lmin[b - 1][k], binmin[b][k]);
+            lmax[b][k] = std::max(lmax[b - 1][k], binmax[b][k]);
+          }
+        }
+        for (int b = kBins - 2; b >= 0; --b) {
+          rcnt[b] = rcnt[b + 1] + cnt[b];
+          for (int k = 0; k < 3; ++k) {
+            rmin[b][k] = std::min(rmin[b + 1][k], binmin[b][k]);
+            rmax[b][k] = std::max(rmax[b + 1][k], binmax[b][k]);
+          }
+        }
+        double best_cost = 1e300;
+        int best = -1;
+        for (int k = 0; k < kBins - 1; ++k) {
+          if (lcnt[k] == 0 || rcnt[k + 1] == 0) continue;
+          double c = (double)lcnt[k] * half_area(lmin[k], lmax[k]) +
+                     (double)rcnt[k + 1] * half_area(rmin[k + 1], rmax[k + 1]);
+          if (c < best_cost) {
+            best_cost = c;
+            best = k;
+          }
+        }
+        if (best >= 0) {
+          for (size_t i = 0; i < ids.size(); ++i) {
+            if (bidx[i] <= best)
+              ids_l.push_back(ids[i]);
+            else
+              ids_r.push_back(ids[i]);
+          }
+          split = true;
+        }
+      }
+    } else {
+      // Widest-axis first, argsort(-extent) tie order matches numpy argsort
+      // (stable on equal extents: axis index order).
+      float extent[3] = {bmax[0] - bmin[0], bmax[1] - bmin[1],
+                         bmax[2] - bmin[2]};
+      int axes[3] = {0, 1, 2};
+      std::stable_sort(axes, axes + 3,
+                       [&](int a, int b) { return extent[a] > extent[b]; });
+
+      for (int ai = 0; ai < 3 && !split; ++ai) {
+        int axis = axes[ai];
+        float mid = 0.5f * (bmin[axis] + bmax[axis]);
+        ids_l.clear();
+        ids_r.clear();
+        for (int64_t id : ids) {
+          if (tctr[id * 3 + axis] < mid)
+            ids_l.push_back(id);
+          else
+            ids_r.push_back(id);
+        }
+        if (!ids_l.empty() && !ids_r.empty()) split = true;
+      }
     }
     if (!split) {
       size_t half = ids.size() / 2;

@@ -50,7 +50,9 @@ def _load() -> Optional[ctypes.CDLL]:
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     ip = ctypes.POINTER(ctypes.c_int)
 
-    lib.qn_bvh_build.argtypes = [f32p, ctypes.c_int, ctypes.c_int, ip, ip]
+    lib.qn_bvh_build.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ip, ip,
+    ]
     lib.qn_bvh_build.restype = ctypes.c_int
     lib.qn_bvh_fetch.argtypes = [f32p, i32p, i32p, i32p, i32p]
     lib.qn_bvh_fetch.restype = ctypes.c_int
@@ -70,7 +72,7 @@ def available() -> bool:
     return _load() is not None
 
 
-def bvh_build_native(tri_verts: np.ndarray, max_leaf: int):
+def bvh_build_native(tri_verts: np.ndarray, max_leaf: int, method: str = "sah"):
     """Returns (bounds, left, right, count, elems) or None."""
     lib = _load()
     if lib is None:
@@ -78,7 +80,8 @@ def bvh_build_native(tri_verts: np.ndarray, max_leaf: int):
     tv = np.ascontiguousarray(tri_verts.reshape(-1, 9), np.float32)
     n_nodes = ctypes.c_int()
     n_elems = ctypes.c_int()
-    if lib.qn_bvh_build(tv, tv.shape[0], max_leaf,
+    m = 1 if method == "sah" else 0
+    if lib.qn_bvh_build(tv, tv.shape[0], max_leaf, m,
                         ctypes.byref(n_nodes), ctypes.byref(n_elems)) != 0:
         return None
     bounds = np.empty((n_nodes.value, 6), np.float32)

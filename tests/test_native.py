@@ -20,10 +20,15 @@ def _soup(n, seed=0):
     return (c + rs.uniform(-0.3, 0.3, (n, 3, 3))).astype(np.float32)
 
 
-def test_bvh_native_matches_numpy():
+@pytest.mark.parametrize("method", ["mean", "sah"])
+def test_bvh_native_matches_numpy(method):
     tri = _soup(500)
-    a = bvh_mod.build_bvh(tri, use_native=True)
-    b = bvh_mod._build_bvh_numpy(tri)
+    a = bvh_mod.build_bvh(tri, use_native=True, method=method)
+    b = (
+        bvh_mod._build_bvh_sah_numpy(tri)
+        if method == "sah"
+        else bvh_mod._build_bvh_numpy(tri)
+    )
     np.testing.assert_array_equal(a.left, b.left)
     np.testing.assert_array_equal(a.right, b.right)
     np.testing.assert_array_equal(a.count, b.count)
