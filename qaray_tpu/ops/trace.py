@@ -43,6 +43,73 @@ def _use_pallas(meta) -> bool:
     )
 
 
+def _use_packed_walk(scene) -> bool:
+    """Packed fat-node traversal (ops/bvh_packed.py): one row gather per
+    step, leaf triangles tested inline. Default; QARAY_BVH_WALK=stacked
+    selects the SoA pop-per-node walk (reference-shaped, for debugging)."""
+    import os
+
+    if os.environ.get("QARAY_BVH_WALK") == "stacked":
+        return False
+    return scene.mesh.pnodes is not None
+
+
+def _traverse(scene, meta, p, d, root_ref, root_node, t_cur, any_hit=False):
+    """Dispatch to the packed or SoA BVH walk with identical semantics.
+
+    root_ref / root_node: scalar packed-ref / node-id roots; only the one
+    the selected walk needs is touched (root_ref is None without pnodes).
+    """
+    num_rays = p.shape[0]
+    if _use_packed_walk(scene):
+        from qaray_tpu.ops.bvh_packed import traverse_bvh_packed
+
+        roots = jnp.broadcast_to(root_ref, (num_rays,))
+        return traverse_bvh_packed(
+            p, d, roots, t_cur, scene.mesh.pnodes, scene.mesh.ltri,
+            stack_size=meta.bvh_depth + 2, any_hit=any_hit,
+        )
+    roots = jnp.broadcast_to(root_node, (num_rays,))
+    return traverse_bvh(
+        p, d, roots, t_cur, scene.mesh,
+        stack_size=meta.bvh_depth + 2, any_hit=any_hit,
+    )
+
+
+def _use_stream(meta) -> bool:
+    """Dense streaming sweep (ops/mesh_stream.py) vs per-lane BVH walk.
+
+    Streaming is the TPU-native default: per-lane gathers in the walk lower
+    to scalar loads (~GB/s); the sweep is pure broadcasted VPU work.
+    QARAY_MESH_PATH=bvh forces the walk (CPU golden parity / debugging)."""
+    import os
+
+    mode = os.environ.get("QARAY_MESH_PATH", "auto")
+    if mode == "bvh":
+        return False
+    if mode == "stream":
+        return True
+    return meta.mesh_stream and jax.default_backend() == "tpu"
+
+
+def _stream_closest(scene, meta, p, d, t_cur):
+    """Streaming closest hit (world-baked scenes only)."""
+    from qaray_tpu.ops.mesh_stream import (
+        StreamTris,
+        exact_winner,
+        stream_closest,
+    )
+
+    stream = StreamTris(scene.mesh.stream_coeff, scene.mesh.stream_const)
+    t_s, gid = stream_closest(p, d, t_cur, stream)
+    # Exact attributes for the single winner (reference numerics).
+    t_e, bary, front, valid = exact_winner(p, d, gid, scene.mesh.tri_v)
+    valid &= t_e < t_cur
+    tri = jnp.where(valid, gid, -1)
+    t = jnp.where(valid, t_e, BIGFLOAT)
+    return t, tri, bary, front
+
+
 def _mesh_closest(scene: SceneArrays, meta: SceneMeta, p, d, t_cur):
     """Closest hit across all mesh instances. Returns (t, inst, tri, bary).
 
@@ -52,10 +119,14 @@ def _mesh_closest(scene: SceneArrays, meta: SceneMeta, p, d, t_cur):
     per-instance object-space loop."""
     num_rays = p.shape[0]
     if meta.world_bvh:
-        roots = jnp.zeros((num_rays,), jnp.int32)
-        t, tri, bary, front = traverse_bvh(
-            p, d, roots, t_cur, scene.mesh, stack_size=meta.bvh_depth + 2
-        )
+        if _use_stream(meta):
+            t, tri, bary, front = _stream_closest(scene, meta, p, d, t_cur)
+        else:
+            inst = scene.instances
+            root_ref = inst.proot[0] if inst.proot is not None else None
+            t, tri, bary, front = _traverse(
+                scene, meta, p, d, root_ref, jnp.int32(0), t_cur
+            )
         inst0 = jnp.where(tri >= 0, 0, -1).astype(jnp.int32)
         return t, inst0, tri, bary, front
     best_t = t_cur
@@ -68,14 +139,9 @@ def _mesh_closest(scene: SceneArrays, meta: SceneMeta, p, d, t_cur):
         m = inst.m_w2o[i]
         p_obj = jnp.matmul(p - inst.t_o2w[i], m.T, precision="highest")
         d_obj = jnp.matmul(d, m.T, precision="highest")
-        roots = jnp.full((num_rays,), inst.root[i], jnp.int32)
-        t, tri, bary, front = traverse_bvh(
-            p_obj,
-            d_obj,
-            roots,
-            best_t,
-            scene.mesh,
-            stack_size=meta.bvh_depth + 2,
+        root_ref = inst.proot[i] if inst.proot is not None else None
+        t, tri, bary, front = _traverse(
+            scene, meta, p_obj, d_obj, root_ref, inst.root[i], best_t
         )
         take = (tri >= 0) & (t < best_t)
         best_t = jnp.where(take, t, best_t)
@@ -275,30 +341,36 @@ def trace_shadow(scene: SceneArrays, meta: SceneMeta, p, d, t_max):
             occluded |= jnp.any(t_all < t_max[:, None], axis=-1)
 
     if meta.num_mesh_instances > 0:
+        inst = scene.instances
         if meta.world_bvh:
-            roots = jnp.zeros((num_rays,), jnp.int32)
+            if _use_stream(meta):
+                from qaray_tpu.ops.mesh_stream import (
+                    StreamTris,
+                    stream_any_hit,
+                )
+
+                stream = StreamTris(
+                    scene.mesh.stream_coeff, scene.mesh.stream_const
+                )
+                budget = jnp.where(occluded, 0.0, t_max)
+                occluded |= stream_any_hit(p, d, budget, stream)
+                return occluded
+            root_ref = inst.proot[0] if inst.proot is not None else None
             budget = jnp.where(occluded, 0.0, t_max)
-            t, tri, _, _ = traverse_bvh(
-                p, d, roots, budget, scene.mesh,
-                stack_size=meta.bvh_depth + 2, any_hit=True,
+            t, tri, _, _ = _traverse(
+                scene, meta, p, d, root_ref, jnp.int32(0), budget, any_hit=True
             )
             occluded |= (tri >= 0) & (t < t_max)
             return occluded
-        inst = scene.instances
         for i in range(meta.num_mesh_instances):
             m = inst.m_w2o[i]
             p_obj = jnp.matmul(p - inst.t_o2w[i], m.T, precision="highest")
             d_obj = jnp.matmul(d, m.T, precision="highest")
-            roots = jnp.full((num_rays,), inst.root[i], jnp.int32)
+            root_ref = inst.proot[i] if inst.proot is not None else None
             # Skip lanes already occluded by zeroing their budget.
             budget = jnp.where(occluded, 0.0, t_max)
-            t, tri, _, _ = traverse_bvh(
-                p_obj,
-                d_obj,
-                roots,
-                budget,
-                scene.mesh,
-                stack_size=meta.bvh_depth + 2,
+            t, tri, _, _ = _traverse(
+                scene, meta, p_obj, d_obj, root_ref, inst.root[i], budget,
                 any_hit=True,
             )
             occluded |= (tri >= 0) & (t < t_max)

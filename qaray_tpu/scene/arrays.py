@@ -67,6 +67,14 @@ class MeshArrays(NamedTuple):
     bvh_right: jnp.ndarray  # [N] (child index, or elem offset for leaf)
     bvh_count: jnp.ndarray  # [N]
     bvh_elems: jnp.ndarray  # [F] global triangle ids in leaf order
+    # Packed fat-node layout (ops/bvh_packed.py): one row gather per
+    # traversal step. Optional — None falls back to the SoA walk above.
+    pnodes: jnp.ndarray = None  # [Ni, 16] f32 (child boxes + bitcast refs)
+    ltri: jnp.ndarray = None  # [F, 12] f32 leaf-ordered [v0 v1 v2 gid pad]
+    # Streaming sweep coefficients (ops/mesh_stream.py): gather-free dense
+    # triangle intersection, the default mesh path on TPU.
+    stream_coeff: jnp.ndarray = None  # [Fp, 3, 3] rows n, A, B
+    stream_const: jnp.ndarray = None  # [Fp, 4] k, A0, B0, |n|
 
 
 class MeshInstances(NamedTuple):
@@ -77,6 +85,7 @@ class MeshInstances(NamedTuple):
     m_w2o: jnp.ndarray  # [I, 3, 3]
     t_o2w: jnp.ndarray  # [I, 3]
     obj_bbox: jnp.ndarray  # [I, 6] object-space bound box (prefilter)
+    proot: jnp.ndarray = None  # [I] int32 packed root ref (ops/bvh_packed)
 
 
 class MaterialTable(NamedTuple):
@@ -182,3 +191,7 @@ class SceneMeta(NamedTuple):
     # single "instance" carries an identity transform and mesh tracing skips
     # the world<->object transforms entirely (scene/compiler.py).
     world_bvh: bool = False
+    # Streaming mesh path (ops/mesh_stream.py): dense gather-free sweep,
+    # selected by the compiler for world-baked scenes under a triangle
+    # budget. Per-lane-gather BVH walks are the fallback for huge scenes.
+    mesh_stream: bool = False

@@ -183,17 +183,32 @@ class SceneCompiler:
             node_offset += len(bvh.left)
 
         if tri_v:
+            from qaray_tpu.ops.bvh_packed import pack_bvh
+
+            all_v = np.concatenate(tri_v)
+            g_bounds = np.concatenate([p[0] for p in bvh_parts])
+            g_left = np.concatenate([p[1] for p in bvh_parts])
+            g_right = np.concatenate([p[2] for p in bvh_parts])
+            g_count = np.concatenate([p[3] for p in bvh_parts])
+            g_elems = np.concatenate([p[4] for p in bvh_parts])
+            pnodes, ltri, node_ref = pack_bvh(
+                g_bounds, g_left, g_right, g_count, g_elems, all_v
+            )
+            for rec in mesh_records.values():
+                rec["proot"] = int(node_ref[rec["root"]])
             mesh_arrays = MeshArrays(
-                tri_v=jnp.asarray(np.concatenate(tri_v)),
+                tri_v=jnp.asarray(all_v),
                 tri_n=jnp.asarray(np.concatenate(tri_n)),
                 tri_uv=jnp.asarray(np.concatenate(tri_uv)),
                 tri_has_uv=jnp.asarray(np.concatenate(tri_has_uv)),
                 tri_mtl=jnp.asarray(np.concatenate(tri_mtl)),
-                bvh_bounds=jnp.asarray(np.concatenate([p[0] for p in bvh_parts])),
-                bvh_left=jnp.asarray(np.concatenate([p[1] for p in bvh_parts])),
-                bvh_right=jnp.asarray(np.concatenate([p[2] for p in bvh_parts])),
-                bvh_count=jnp.asarray(np.concatenate([p[3] for p in bvh_parts])),
-                bvh_elems=jnp.asarray(np.concatenate([p[4] for p in bvh_parts])),
+                bvh_bounds=jnp.asarray(g_bounds),
+                bvh_left=jnp.asarray(g_left),
+                bvh_right=jnp.asarray(g_right),
+                bvh_count=jnp.asarray(g_count),
+                bvh_elems=jnp.asarray(g_elems),
+                pnodes=jnp.asarray(pnodes),
+                ltri=jnp.asarray(ltri),
             )
         else:
             z3 = np.zeros((0, 3, 3), np.float32)
@@ -294,6 +309,13 @@ class SceneCompiler:
         wv = np.concatenate(wv_l)
         bvh = bvh_mod.build_bvh(wv, self.max_leaf)
         depth = bvh_mod.bvh_depth(bvh)
+        from qaray_tpu.ops.bvh_packed import pack_bvh
+        from qaray_tpu.ops.mesh_stream import build_stream
+
+        pnodes, ltri, node_ref = pack_bvh(
+            bvh.bounds, bvh.left, bvh.right, bvh.count, bvh.elems, wv
+        )
+        stream = build_stream(wv)
         mesh_arrays = MeshArrays(
             tri_v=jnp.asarray(wv),
             tri_n=jnp.asarray(np.concatenate(wn_l)),
@@ -305,6 +327,10 @@ class SceneCompiler:
             bvh_right=jnp.asarray(bvh.right),
             bvh_count=jnp.asarray(bvh.count),
             bvh_elems=jnp.asarray(bvh.elems),
+            pnodes=jnp.asarray(pnodes),
+            ltri=jnp.asarray(ltri),
+            stream_coeff=stream.coeff,
+            stream_const=stream.const,
         )
         bbox = (
             np.concatenate([wv.reshape(-1, 3).min(0), wv.reshape(-1, 3).max(0)])
@@ -313,6 +339,7 @@ class SceneCompiler:
         )
         ident = {
             "root": np.zeros(1, np.int32),
+            "proot": np.asarray([node_ref[0]], np.int32),
             "mtl": -np.ones(1, np.int32),  # resolve via per-face table
             "mtl_base": np.zeros(1, np.int32),
             # tri_mtl already holds final ids; clip must keep them all.
@@ -516,6 +543,7 @@ class SceneCompiler:
             mesh_arrays, ident, depth = self._build_world_mesh_arrays(b)
             n_inst = 1
             inst_root = ident["root"]
+            inst_proot = ident["proot"]
             inst_mtl = ident["mtl"]
             inst_base = ident["mtl_base"]
             inst_nsub = ident["num_sub_mtl"]
@@ -528,6 +556,7 @@ class SceneCompiler:
 
             n_inst = n_src_inst
             inst_root = np.zeros(max(n_inst, 1), np.int32)
+            inst_proot = np.zeros(max(n_inst, 1), np.int32)
             inst_mtl = -np.ones(max(n_inst, 1), np.int32)
             inst_base = np.zeros(max(n_inst, 1), np.int32)
             inst_nsub = np.zeros(max(n_inst, 1), np.int32)
@@ -535,6 +564,7 @@ class SceneCompiler:
             for i, (mesh, single, base, nsub) in enumerate(b.inst_mesh):
                 rec = mesh_records[id(mesh)]
                 inst_root[i] = rec["root"]
+                inst_proot[i] = rec.get("proot", 0)
                 inst_mtl[i] = single
                 inst_base[i] = base
                 inst_nsub[i] = nsub
@@ -563,6 +593,7 @@ class SceneCompiler:
             mesh=mesh_arrays,
             instances=MeshInstances(
                 root=jnp.asarray(inst_root),
+                proot=jnp.asarray(inst_proot),
                 mtl=jnp.asarray(inst_mtl),
                 mtl_base=jnp.asarray(inst_base),
                 num_sub_mtl=jnp.asarray(inst_nsub),
@@ -599,6 +630,11 @@ class SceneCompiler:
             has_bg_texture=_live_texture(self.scene.background),
             has_env_texture=_live_texture(self.scene.environment),
             world_bvh=use_world,
+            mesh_stream=(
+                use_world
+                and arrays.mesh.stream_coeff is not None
+                and int(arrays.mesh.tri_v.shape[0]) <= _stream_max_tris()
+            ),
         )
         return arrays, meta
 
@@ -611,6 +647,16 @@ class SceneCompiler:
     # Backward-compat ordering: environment/background textures must be
     # interned before the atlas is built, so compile() calls _env_color before
     # _texture_atlas. Handled by calling order below.
+
+
+def _stream_max_tris() -> int:
+    """Triangle budget for the dense streaming mesh path (O(rays x tris)
+    per dispatch). Above it, the per-lane-gather BVH walk takes over. The
+    Pallas cluster-culled kernel raises the practical ceiling; env
+    QARAY_STREAM_MAX_TRIS overrides."""
+    import os
+
+    return int(os.environ.get("QARAY_STREAM_MAX_TRIS", 262144))
 
 
 def _live_texture(tc: D.TexturedColor) -> bool:

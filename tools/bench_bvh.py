@@ -89,6 +89,28 @@ def main():
     )
     out_s = timeit("stacked", f_stacked)
 
+    from qaray_tpu.ops.bvh_packed import pack_bvh, traverse_bvh_packed
+
+    pnodes, ltri, ref = pack_bvh(
+        bvh.bounds, bvh.left, bvh.right, bvh.count, bvh.elems, tri_v
+    )
+    pnodes_d = jnp.asarray(pnodes)
+    ltri_d = jnp.asarray(ltri)
+    proots = jnp.full((n_rays,), ref[0], jnp.int32)
+    f_packed = jax.jit(
+        lambda: traverse_bvh_packed(
+            p, d, proots, t_init, pnodes_d, ltri_d, stack_size=depth + 2
+        )
+    )
+    out_p = timeit("packed", f_packed)
+    t_s0, tri_s0 = np.asarray(out_s[0]), np.asarray(out_s[1])
+    t_p0, tri_p0 = np.asarray(out_p[0]), np.asarray(out_p[1])
+    hs, hp = tri_s0 >= 0, tri_p0 >= 0
+    print(
+        f"packed agree: hits {np.mean(hs == hp):.6f}  "
+        f"t maxdiff {np.max(np.abs(np.where(hs & hp, t_s0 - t_p0, 0.0))):.2e}"
+    )
+
     try:
         from qaray_tpu.ops.bvh_threaded import traverse_bvh_threaded, thread_bvh
 
