@@ -1,6 +1,7 @@
 """BVH build + traversal vs brute-force triangle intersection."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from qaray_tpu.core.constants import BIGFLOAT
@@ -8,6 +9,8 @@ from qaray_tpu.ops.bvh_traverse import traverse_bvh
 from qaray_tpu.ops.intersect import intersect_triangles
 from qaray_tpu.scene import bvh as bvh_mod
 from qaray_tpu.scene.arrays import MeshArrays
+
+pytestmark = pytest.mark.quick
 
 
 def _random_soup(n_tris, seed=0):

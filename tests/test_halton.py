@@ -2,8 +2,11 @@
 (core/sampler.cpp:31-40)."""
 
 import numpy as np
+import pytest
 
 from qaray_tpu.core.halton import halton, halton_np
+
+pytestmark = pytest.mark.quick
 
 
 def _halton_scalar(index, base):

@@ -1,11 +1,14 @@
 """Closed-form intersection cases for sphere/plane/triangle kernels."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from qaray_tpu.core.constants import BIGFLOAT
 from qaray_tpu.ops import intersect as I
 from qaray_tpu.scene.arrays import KIND_PLANE, KIND_SPHERE, AnalyticPrims
+
+pytestmark = pytest.mark.quick
 
 
 def _prims(kinds, mats, scales=None, offsets=None):

@@ -9,9 +9,10 @@ import pytest
 from qaray_tpu import native
 from qaray_tpu.scene import bvh as bvh_mod
 
-pytestmark = pytest.mark.skipif(
-    not native.available(), reason="native library unavailable"
-)
+pytestmark = [
+    pytest.mark.quick,
+    pytest.mark.skipif(not native.available(), reason="native library unavailable"),
+]
 
 
 def _soup(n, seed=0):

@@ -5,6 +5,8 @@ import pytest
 
 from qaray_tpu.scene.xml_parser import load_scene
 
+pytestmark = pytest.mark.quick
+
 
 @pytest.fixture(scope="module")
 def blinn(inputs_dir):

@@ -7,6 +7,8 @@ import pytest
 
 from qaray_tpu.photon.gather import PhotonMapData, estimate_irradiance
 
+pytestmark = pytest.mark.quick
+
 
 def _make_map(n=300, radius=0.5, seed=0):
     rs = np.random.RandomState(seed)

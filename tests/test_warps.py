@@ -1,11 +1,14 @@
 """Warp statistics: unit norms, hemisphere support, cosine weighting."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
 from qaray_tpu.core import warps
 from qaray_tpu.core.vecmath import to_local_frame, normalize
+
+pytestmark = pytest.mark.quick
 
 
 def _uniforms(n, k, seed=0):
