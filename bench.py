@@ -7,10 +7,12 @@ bounces + shadow rays included in the timed work but only primary rays in
 the numerator, matching how the reference would count PixelRender calls).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is measured against BASELINE_RAYS_PER_S (the qaray C++ reference
-on a contemporary multicore CPU; the reference publishes no numbers — see
-BASELINE.md — so this anchor is an estimated 5 Mray/s for an 8-thread CPU
-Whitted-style render of this scene).
+vs_baseline is measured against BASELINE_RAYS_PER_S: the patched reference
+C++ build (/tmp/qref, Release, OpenMP) *measured* on this same scene at
+800x600 — marginal rays/s between -spp 1 and -spp 16 runs, 2 threads on this
+host's 2-core CPU (see BASELINE.md "Measured" table). Per-thread that is
+~0.57 Mray/s, so an 8-thread workstation extrapolates to ~4.5 Mray/s
+(reported separately in bench_details.json as vs_baseline_8thread).
 """
 
 import json
@@ -18,7 +20,8 @@ import time
 
 import numpy as np
 
-BASELINE_RAYS_PER_S = 5.0e6
+BASELINE_RAYS_PER_S = 1.136e6  # measured: 2 threads, this host, box scene
+BASELINE_8THREAD_EXTRAPOLATED = 4.54e6  # 8 x measured per-thread rate
 
 
 def main():
@@ -69,6 +72,9 @@ def main():
         "batch_lanes": batch,
         "spp_equivalent_per_s_800x600": rays_per_s / batch,
         "device": str(jax.devices()[0]),
+        "baseline_reference_rays_per_s_2thread_measured": BASELINE_RAYS_PER_S,
+        "vs_baseline_8thread_extrapolated": rays_per_s
+        / BASELINE_8THREAD_EXTRAPOLATED,
     }
     try:
         details["mesh_scene_rays_per_s"] = _mesh_bench()
