@@ -86,6 +86,18 @@ def parse_args(argv):
         elif a == "-progressive":
             i += 1
             param.progressive_every = int(argv[i])
+        elif a == "-shadow-spp":
+            i += 1
+            param.shadow_spp = int(argv[i])
+        elif a == "-shadow-spp-max":
+            i += 1
+            param.shadow_spp_max = int(argv[i])
+        elif a == "-probe":
+            # Pixel probe: print RGB + z at x,y after the render (the GUI
+            # left-click PrintPixelData, viewport.cpp:516-527).
+            i += 1
+            x, y = argv[i].split(",")
+            overrides.setdefault("probe", []).append((int(x), int(y)))
         elif a == "-profile":
             i += 1
             overrides["profile"] = argv[i]
@@ -131,6 +143,15 @@ def main(argv=None):
     fb.save_image(out_prefix + "colorBuffer.png")
     fb.save_z_image(out_prefix + "depthBuffer.png")
     fb.save_sample_count_image(out_prefix + "sampleBuffer.png")
+    if param.use_photon_map:
+        fb.save_irradiance_image(out_prefix + "irradianceBuffer.png")
+    for x, y in overrides.get("probe", []):
+        try:
+            r, g, b, z = fb.probe(x, y)
+            # PrintPixelData format (viewport.cpp:522-523).
+            print(f"Pixel [ {x}, {y} ] Color3c: {r}, {g}, {b}   Z: {z:f}")
+        except IndexError as e:
+            print(str(e))
     return 0
 
 

@@ -37,6 +37,12 @@ class FrameBuffer:
         self.zbuffer = np.full((n,), BIGFLOAT, np.float32)
         self.mask = np.zeros((n,), np.uint8)
         self.img = np.zeros((n, 3), np.uint8)
+        # Irradiance-computation debug plane (fb/framebuffer.h:42
+        # irradComp + SaveIrradianceComputationImage, GUI view mode 5).
+        # The reference allocates and displays it but no material ever
+        # writes it; here the photon-map integrator marks pixels whose
+        # primary vertex is a photon-gather (diffuse) surface.
+        self.irrad = np.zeros((n,), np.uint8)
         self.num_rendered_pixels = 0
 
     # -- accumulation ---------------------------------------------------------
@@ -58,6 +64,25 @@ class FrameBuffer:
 
     def set_depth(self, pixel_ids: np.ndarray, depth: np.ndarray):
         self.zbuffer[pixel_ids] = depth
+
+    def mark_irradiance(self, pixel_ids: np.ndarray, mask: np.ndarray):
+        """Mark pixels that performed an irradiance (photon-gather) estimate."""
+        self.irrad[pixel_ids] = np.maximum(
+            self.irrad[pixel_ids], np.where(mask, 255, 0).astype(np.uint8)
+        )
+
+    def probe(self, x: int, y: int):
+        """Per-pixel probe: (r, g, b, z) at integer pixel coordinates.
+
+        The GUI's left-click PrintPixelData equivalent
+        (renderers/gui/viewport.cpp:516-527); returns the quantized color
+        bytes and the z-buffer value. Raises IndexError outside the image.
+        """
+        if not (0 <= x < self.width and 0 <= y < self.height):
+            raise IndexError(f"-- Invalid pixel ({x},{y}) --")
+        i = y * self.width + x
+        r, g, b = (int(v) for v in self.img[i])
+        return r, g, b, float(self.zbuffer[i])
 
     def converged(self, threshold) -> np.ndarray:
         """Per-pixel adaptive stop test (scene/scene.cpp:92-97 negated)."""
@@ -143,3 +168,7 @@ class FrameBuffer:
 
     def save_sample_count_image(self, filename: str):
         self.save_png(filename, self.sample_count_image())
+
+    def save_irradiance_image(self, filename: str):
+        """SaveIrradianceComputationImage (fb/framebuffer.cpp:140-143)."""
+        self.save_png(filename, self.irrad)

@@ -232,8 +232,19 @@ def illuminate(scene, meta, cfg, light_idx: int, p, keys):
         # mean(shadow*falloff): for small falloff f it approaches
         # shadow * f * H_n (harmonic growth), and the escalation to
         # shadow_spp_max triggers as soon as the estimate is fractional.
+        #
+        # Two-phase dispatch: the reference traces the s_min..s_max tail only
+        # for lanes whose estimate went fractional during the first s_min
+        # samples, so we trace s_min rays for everyone, decide escalation
+        # from that (the estimate trajectory over the first s_min samples is
+        # identical either way), and trace the tail with a ZEROED t_max
+        # budget on non-escalating lanes — their BVH walks terminate on the
+        # first iteration, so tail cost tracks the escalated population
+        # instead of always being worst-case. Draws come from one
+        # [s_max, 2, 2] stream sliced per phase, so sample values (and the
+        # final image) are bit-identical to the single-dispatch form.
         s_min = cfg.shadow_spp
-        s_max = cfg.shadow_spp_max
+        s_max = max(cfg.shadow_spp_max, s_min)
         k = RNG.fold(keys, RNG.P_SHADOW + 101 * light_idx)
         u = RNG.uniform(k, (s_max, 2, 2))  # quirk-ball uniforms per sample
         balls = _quirk_ball(u, size)  # [B, s_max, 3]
@@ -241,29 +252,52 @@ def illuminate(scene, meta, cfg, light_idx: int, p, keys):
         vec = target - p[:, None, :]  # [B,s_max,3]
         dist = jnp.sqrt(jnp.maximum(jnp.sum(vec * vec, axis=-1), 1e-20))
         dirs = vec / dist[..., None]
-        flat_p = jnp.broadcast_to(p[:, None, :], vec.shape).reshape(-1, 3)
-        occ = trace_shadow(
-            scene, meta, flat_p, dirs.reshape(-1, 3), dist.reshape(-1)
-        ).reshape(num, s_max)
-        shadow = 1.0 - occ.astype(jnp.float32)  # x_s
         fall = falloff(vec)  # [B, s_max]
 
-        def body(carry, args):
-            i, limit, s = carry
-            x, f = args
-            upd = i + (x - i) * f / (s + 1.0)
-            i = jnp.where(s < limit, upd, i)
-            limit = jnp.where((i > 0.0) & (i < 1.0), float(s_max), limit)
-            return (i, limit, s + 1.0), None
+        def trace_phase(lo, hi, budget_mask=None):
+            """Shadow-trace samples [lo, hi); budget_mask zeroes dead lanes."""
+            v_ = vec[:, lo:hi]
+            d_ = dist[:, lo:hi]
+            if budget_mask is not None:
+                d_ = d_ * budget_mask[:, None]
+            flat_p = jnp.broadcast_to(p[:, None, :], v_.shape).reshape(-1, 3)
+            occ = trace_shadow(
+                scene, meta,
+                flat_p, dirs[:, lo:hi].reshape(-1, 3), d_.reshape(-1),
+            ).reshape(num, hi - lo)
+            return 1.0 - occ.astype(jnp.float32)  # x_s
 
-        init = (
-            jnp.zeros((num,)),
-            jnp.full((num,), float(s_min)),
-            jnp.zeros((num,)),
+        def recurrence(i0, s0, xs, fs, gate=None):
+            """Run the reference update over samples s0..s0+K-1.
+
+            gate: optional [B] mask — lanes with gate False keep i0 (their
+            loop already ended). Returns (i, fractional_seen)."""
+
+            def body(carry, args):
+                i, s, frac = carry
+                x, f = args
+                upd = i + (x - i) * f / (s + 1.0)
+                if gate is not None:
+                    upd = jnp.where(gate, upd, i)
+                frac = frac | ((upd > 0.0) & (upd < 1.0))
+                return (upd, s + 1.0, frac), None
+
+            init = (i0, jnp.full((num,), float(s0)), jnp.zeros((num,), bool))
+            (i, _, frac), _ = jax.lax.scan(body, init, (xs.T, fs.T))
+            return i, frac
+
+        shadow1 = trace_phase(0, s_min)
+        in_shadow, escalate = recurrence(
+            jnp.zeros((num,)), 0, shadow1, fall[:, :s_min]
         )
-        (in_shadow, _, _), _ = jax.lax.scan(
-            body, init, (shadow.T, fall.T)
-        )
+        if s_max > s_min:
+            shadow2 = trace_phase(
+                s_min, s_max, budget_mask=escalate.astype(jnp.float32)
+            )
+            in_shadow2, _ = recurrence(
+                in_shadow, s_min, shadow2, fall[:, s_min:], gate=escalate
+            )
+            in_shadow = jnp.where(escalate, in_shadow2, in_shadow)
         out = in_shadow[:, None] * intensity
     else:
         vec = pos[None, :] - p

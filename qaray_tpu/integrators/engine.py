@@ -349,7 +349,7 @@ def _pathtrace_vertex(scene, meta, cfg, hits, mtl, v, keys, has_diffuse_hit,
 
 def _basic_family_vertex(scene, meta, cfg, hits, mtl, v, keys, has_diffuse_hit,
                          bounce_remaining, photon_maps=None, phong=False,
-                         mcgi=False):
+                         mcgi=False, direct_lighting=True):
     """Whitted-family vertex: MtlBlinn_Basic / MtlPhong_Basic /
     MtlBlinn_MonteCarloGI (materials/MtlBlinn_Basic.cpp:30-185,
     MtlPhong_Basic.cpp, MtlBlinn_MonteCarloGI.cpp).
@@ -419,15 +419,21 @@ def _basic_family_vertex(scene, meta, cfg, hits, mtl, v, keys, has_diffuse_hit,
     )
 
     # Direct lighting: front hits only, ambient included, no normalization.
+    # direct_lighting=False skips it entirely — used by the MC-GI N-sample
+    # expansion, whose extra replicas only need continuation draws (the
+    # reference evaluates direct once per vertex, MtlBlinn_MonteCarloGI.cpp).
     zero = jnp.zeros_like(p)
-    if phong:
+    if not direct_lighting:
+        vertex_color = zero
+    elif phong:
         direct = _phong_direct(scene, meta, cfg, p, n, v, mtl, keys)
+        vertex_color = jnp.where(front[:, None], direct, zero)
     else:
         direct = C.blinn_direct(
             scene, meta, cfg, p, n, v, mtl.diffuse, mtl.specular,
             mtl.glossiness, keys, skip_ambient=False, norm_power=0,
         )
-    vertex_color = jnp.where(front[:, None], direct, zero)
+        vertex_color = jnp.where(front[:, None], direct, zero)
 
     # Children.
     can_bounce = bounce_remaining > 0
@@ -539,6 +545,11 @@ def integrate(scene: SceneArrays, meta: SceneMeta, cfg: IntegratorConfig,
     has_diffuse_hit = jnp.zeros((num,), bool)
     pending_absorption = jnp.zeros((num, 3), jnp.float32)
     t0 = jnp.full((num,), BIGFLOAT, jnp.float32)
+    irrad0 = jnp.zeros((num,), bool)
+    # MC-GI first-vertex sample count (maxMCSample): >1 widens the wavefront
+    # after the primary hit.
+    mc_n = cfg.mc_samples if cfg.integrator == "mcgi" else 1
+    expanded = False
 
     # Texture footprints only feed texture filtering — skip the differential
     # hit machinery entirely for untextured scenes (static).
@@ -561,7 +572,7 @@ def integrate(scene: SceneArrays, meta: SceneMeta, cfg: IntegratorConfig,
             if meta.has_env_texture:
                 env = sample_environment(scene.textures, scene.environment, d)
             else:
-                env = jnp.broadcast_to(scene.environment.color, (num, 3))
+                env = jnp.broadcast_to(scene.environment.color, (d.shape[0], 3))
             radiance = radiance + jnp.where(miss[:, None], beta * env, 0.0)
 
         alive = hit
@@ -576,9 +587,74 @@ def integrate(scene: SceneArrays, meta: SceneMeta, cfg: IntegratorConfig,
             duvw=(hits["duvw0"], hits["duvw1"]) if "duvw0" in hits else None,
             textured=meta.has_mtl_textures,
         )
+        if bounce == 0 and cfg.integrator == "photonmap" and cfg.use_photon_map:
+            # Irradiance-computation debug plane: the primary vertex is a
+            # photon-gather (diffuse) surface — IsPhotonSurface semantics
+            # (MtlBlinn_PhotonMap.h:74-77, diffuse luma > 0).
+            irrad0 = hit & (luma(mtl.diffuse) > 0.0)
         v = -d  # unit: d is normalized
         keys = RNG.fold(ray_keys, 1000 + bounce)
-        bounce_remaining = jnp.full((num,), cfg.max_bounce - bounce, jnp.int32)
+        lanes = p.shape[0]
+        bounce_remaining = jnp.full((lanes,), cfg.max_bounce - bounce, jnp.int32)
+
+        if bounce == 0 and mc_n > 1:
+            # MC-GI first-vertex expansion (MtlBlinn_MonteCarloGI.cpp:21-22,
+            # 176-178: maxMCSample=10 indirect samples at the first bounce,
+            # then 1). Direct lighting is evaluated ONCE; the wavefront then
+            # widens to mc_n replicas per lane, each drawing an independent
+            # continuation, each weighted 1/mc_n. (The reference recurses
+            # once into reflection/refraction and N times into GI; the
+            # replicas RR over all three lobes, which averages refl/refr
+            # N-fold too — identical in expectation, strictly lower
+            # variance.)
+            dirs, wts, conts, hdhs = [], [], [], []
+            for rep in range(mc_n):
+                krep = keys if rep == 0 else RNG.fold(keys, 50000 + rep)
+                vc, nd, wt, ct, nh, pa = vertex_fn(
+                    scene, meta, cfg, hits, mtl, v, krep, has_diffuse_hit,
+                    bounce_remaining, photon_maps,
+                    direct_lighting=(rep == 0),
+                )
+                if rep == 0:
+                    vertex_color = vc
+                    pend_abs = pa
+                dirs.append(nd)
+                wts.append(wt)
+                conts.append(ct)
+                hdhs.append(nh)
+            radiance = radiance + jnp.where(
+                alive[:, None], beta * vertex_color, 0.0
+            )
+            if bounce == cfg.max_bounce:
+                break
+
+            def xrep(x):
+                return jnp.concatenate([x] * mc_n, axis=0)
+
+            alive = xrep(alive) & jnp.concatenate(conts, axis=0)
+            beta = jnp.where(
+                alive[:, None],
+                xrep(beta) * jnp.concatenate(wts, axis=0) / mc_n,
+                xrep(beta),
+            )
+            has_diffuse_hit = jnp.where(
+                alive, jnp.concatenate(hdhs, axis=0), xrep(has_diffuse_hit)
+            )
+            pending_absorption = xrep(pend_abs)
+            p = xrep(hits["p"])
+            d = jax.lax.stop_gradient(
+                normalize(jnp.concatenate(dirs, axis=0), eps=1e-30)
+            )
+            ray_keys = jnp.concatenate(
+                [RNG.fold(ray_keys, 777000 + rep) for rep in range(mc_n)],
+                axis=0,
+            )
+            # All later accumulation (env misses, vertex terms) lands in an
+            # expanded-width accumulator, folded back at return.
+            radiance0 = radiance
+            radiance = jnp.zeros((mc_n * num, 3), jnp.float32)
+            expanded = True
+            continue
 
         vertex_color, new_dir, weight, cont, new_hdh, pend_abs = vertex_fn(
             scene, meta, cfg, hits, mtl, v, keys, has_diffuse_hit,
@@ -599,16 +675,20 @@ def integrate(scene: SceneArrays, meta: SceneMeta, cfg: IntegratorConfig,
         # direction/PDF sensitivities; see diff.py).
         d = jax.lax.stop_gradient(normalize(new_dir, eps=1e-30))
 
-    return radiance, t0
+    if expanded:
+        radiance = radiance0 + radiance.reshape(mc_n, num, 3).sum(axis=0)
+    return radiance, t0, irrad0
 
 
-@partial(jax.jit, static_argnames=("meta", "cfg"))
+@partial(jax.jit, static_argnames=("meta", "cfg", "want_aux"))
 def render_batch(scene: SceneArrays, meta: SceneMeta, cfg: IntegratorConfig,
-                 px, py, sample_ids, base_key, photon_maps=None):
+                 px, py, sample_ids, base_key, photon_maps=None,
+                 want_aux: bool = False):
     """Render one sample for each (px, py) pixel lane.
 
-    Returns (radiance [B,3], depth [B]). Deterministic in
-    (base_key, pixel coords, sample_ids) — independent of batch split or
+    Returns (radiance [B,3], depth [B]); with want_aux=True additionally the
+    per-lane irradiance-computation flag (the fb debug plane). Deterministic
+    in (base_key, pixel coords, sample_ids) — independent of batch split or
     device sharding.
     """
     ray_ids = py * meta.img_width + px
@@ -619,7 +699,9 @@ def render_batch(scene: SceneArrays, meta: SceneMeta, cfg: IntegratorConfig,
     screen_uv = jnp.stack(
         [tx / meta.img_width, ty / meta.img_height, jnp.zeros_like(tx)], axis=-1
     )
-    radiance, t0 = integrate(
+    radiance, t0, irrad0 = integrate(
         scene, meta, cfg, campos, d, keys, screen_uv, photon_maps, diff
     )
+    if want_aux:
+        return radiance, t0, irrad0
     return radiance, t0

@@ -65,6 +65,17 @@ def pack_bvh(bounds, left, right, count, elems, tri_v):
     tri_v = np.asarray(tri_v, np.float32)
 
     is_leaf = left < 0
+    # Leaf refs pack the element count into 3 bits: counts > 7 would bleed
+    # into the offset bits and corrupt the encoding. The builder's max_leaf
+    # must therefore be <= 7, and the traversal's static max_leaf must be >=
+    # the largest actual leaf (validated again in traverse_bvh_packed).
+    if is_leaf.any():
+        cmax = int(count[is_leaf].max())
+        if cmax > 7:
+            raise ValueError(
+                f"pack_bvh: leaf count {cmax} exceeds the 3-bit encoding "
+                "limit (build the BVH with max_leaf <= 7)"
+            )
     inner_slot = np.cumsum(~is_leaf) - 1  # slot id for inner nodes
     ref = np.where(is_leaf, -(right * 8 + count + 1), inner_slot).astype(
         np.int32

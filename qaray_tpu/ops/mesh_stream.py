@@ -137,40 +137,67 @@ def _chunk_test(p, d, coeff, const):
 
 @partial(jax.jit, static_argnames=("chunk",))
 def stream_closest(p, d, t_cur, stream: StreamTris, chunk: int = STREAM_CHUNK):
-    """Dense sweep closest hit. Returns (t [B], gid [B] or -1).
+    """Dense sweep closest hit. Returns (t [B], gid [B] or -1, gid2 [B]).
 
     t is the sweep's winner distance (used only for pruning comparisons);
-    callers re-derive exact attributes for the winner via
-    `exact_hit_attrs_for`.
+    callers re-derive exact attributes for the winner via `exact_winner`.
+    gid2 is the runner-up triangle: the sweep's linear-in-t predicate can
+    disagree with the exact test near triangle edges, so if the winner fails
+    the exact re-test the caller falls back to the runner-up instead of
+    reporting a spurious miss.
     """
     num_rays = p.shape[0]
     total = stream.coeff.shape[0]
+    assert total % chunk == 0, (
+        f"stream triangle array length {total} is not a multiple of the "
+        f"traversal chunk {chunk} (build_stream pads to its own chunk; pass "
+        "the same value to both)"
+    )
     t_best = t_cur
     gid_best = jnp.full((num_rays,), -1, jnp.int32)
+    t2_best = jnp.full((num_rays,), BIGFLOAT)
+    gid2_best = jnp.full((num_rays,), -1, jnp.int32)
 
     def body(c, carry):
-        t_best, gid_best = carry
+        t_best, gid_best, t2_best, gid2_best = carry
         coeff = jax.lax.dynamic_slice_in_dim(stream.coeff, c * chunk, chunk)
         const = jax.lax.dynamic_slice_in_dim(stream.const, c * chunk, chunk)
         t = _chunk_test(p, d, coeff, const)
-        tmin = jnp.min(t, axis=1)
         imin = jnp.argmin(t, axis=1).astype(jnp.int32)
-        take = tmin < t_best
-        return (
-            jnp.where(take, tmin, t_best),
-            jnp.where(take, c * chunk + imin, gid_best),
+        tmin = jnp.min(t, axis=1)
+        # Chunk runner-up: min with the winner column masked out.
+        col = jnp.arange(chunk, dtype=jnp.int32)[None, :]
+        t_wo = jnp.where(col == imin[:, None], BIGFLOAT, t)
+        imin2 = jnp.argmin(t_wo, axis=1).astype(jnp.int32)
+        tmin2 = jnp.min(t_wo, axis=1)
+        gmin = c * chunk + imin
+        gmin2 = c * chunk + imin2
+        # Merge the chunk's top-2 with the running top-2 (4 candidates).
+        cand_t = jnp.stack([t_best, t2_best, tmin, tmin2], axis=1)
+        cand_g = jnp.stack(
+            [gid_best, gid2_best, gmin, gmin2], axis=1
         )
+        order = jnp.argsort(cand_t, axis=1)
+        top_t = jnp.take_along_axis(cand_t, order[:, :2], axis=1)
+        top_g = jnp.take_along_axis(cand_g, order[:, :2], axis=1)
+        return top_t[:, 0], top_g[:, 0], top_t[:, 1], top_g[:, 1]
 
-    t_best, gid_best = jax.lax.fori_loop(
-        0, total // chunk, body, (t_best, gid_best)
+    t_best, gid_best, t2_best, gid2_best = jax.lax.fori_loop(
+        0, total // chunk, body, (t_best, gid_best, t2_best, gid2_best)
     )
-    return t_best, gid_best
+    # Runner-up only matters if it is itself a live hit (not the t_cur seed).
+    gid2_best = jnp.where(t2_best < BIGFLOAT, gid2_best, -1)
+    return t_best, gid_best, gid2_best
 
 
 @partial(jax.jit, static_argnames=("chunk",))
 def stream_any_hit(p, d, t_max, stream: StreamTris, chunk: int = STREAM_CHUNK):
     """Dense sweep occlusion: True where any triangle has BIAS < t < t_max."""
     total = stream.coeff.shape[0]
+    assert total % chunk == 0, (
+        f"stream triangle array length {total} is not a multiple of the "
+        f"traversal chunk {chunk}"
+    )
     occ = jnp.zeros((p.shape[0],), bool)
 
     def body(c, occ):

@@ -67,12 +67,14 @@ def _traverse(scene, meta, p, d, root_ref, root_node, t_cur, any_hit=False):
         roots = jnp.broadcast_to(root_ref, (num_rays,))
         return traverse_bvh_packed(
             p, d, roots, t_cur, scene.mesh.pnodes, scene.mesh.ltri,
-            stack_size=meta.bvh_depth + 2, any_hit=any_hit,
+            max_leaf=meta.max_leaf, stack_size=meta.bvh_depth + 2,
+            any_hit=any_hit,
         )
     roots = jnp.broadcast_to(root_node, (num_rays,))
     return traverse_bvh(
         p, d, roots, t_cur, scene.mesh,
-        stack_size=meta.bvh_depth + 2, any_hit=any_hit,
+        max_leaf=meta.max_leaf, stack_size=meta.bvh_depth + 2,
+        any_hit=any_hit,
     )
 
 
@@ -101,9 +103,19 @@ def _stream_closest(scene, meta, p, d, t_cur):
     )
 
     stream = StreamTris(scene.mesh.stream_coeff, scene.mesh.stream_const)
-    t_s, gid = stream_closest(p, d, t_cur, stream)
-    # Exact attributes for the single winner (reference numerics).
+    t_s, gid, gid2 = stream_closest(p, d, t_cur, stream)
+    # Exact attributes for the single winner (reference numerics). The
+    # sweep's linear-in-t predicate can disagree with the exact test near
+    # triangle edges; lanes whose winner fails the exact re-test fall back
+    # to the sweep's runner-up before reporting a miss.
     t_e, bary, front, valid = exact_winner(p, d, gid, scene.mesh.tri_v)
+    t2, bary2, front2, valid2 = exact_winner(p, d, gid2, scene.mesh.tri_v)
+    use2 = (~valid) & valid2
+    gid = jnp.where(use2, gid2, gid)
+    t_e = jnp.where(use2, t2, t_e)
+    bary = jnp.where(use2[:, None], bary2, bary)
+    front = jnp.where(use2, front2, front)
+    valid |= use2
     valid &= t_e < t_cur
     tri = jnp.where(valid, gid, -1)
     t = jnp.where(valid, t_e, BIGFLOAT)

@@ -42,7 +42,8 @@ def shard_render_batch(mesh: Mesh):
     replicated = NamedSharding(mesh, P())
     sharded = NamedSharding(mesh, P("rays"))
 
-    def run(scene, meta, cfg, px, py, sample_ids, base_key, photon_maps=None):
+    def run(scene, meta, cfg, px, py, sample_ids, base_key, photon_maps=None,
+            want_aux=False):
         scene = jax.device_put(scene, replicated)
         px = jax.device_put(px, sharded)
         py = jax.device_put(py, sharded)
@@ -51,7 +52,7 @@ def shard_render_batch(mesh: Mesh):
         if photon_maps is not None:
             photon_maps = jax.device_put(photon_maps, replicated)
         return render_batch(scene, meta, cfg, px, py, sample_ids, base_key,
-                            photon_maps)
+                            photon_maps, want_aux=want_aux)
 
     return run
 

@@ -45,7 +45,9 @@ class RendererParam:
     caustics_map_size: int = 1000
     caustics_map_bounce: int = 20
     caustics_map_radius: float = 1.0
-    shadow_spp: int = 16
+    shadow_spp: int = 16  # GenLight::shadow_spp_min (lights.cpp:16)
+    shadow_spp_max: int = 64  # GenLight::shadow_spp_max (lights.cpp:17)
+    mc_samples: int = 10  # MtlBlinn_MonteCarloGI maxMCSample (mcgi only)
     threshold: tuple = SPP_THRESHOLD
     seed: int = 0
     # 'rbg': fast TPU RngBitGenerator, ~1.4x end-to-end, deterministic for a
@@ -80,6 +82,7 @@ class Renderer:
         self.photon_maps = None
         self._progress_cb: Optional[Callable] = None
         self._render_fn = render_batch
+        self._mesh = None
         if self.param.num_devices > 1:
             from qaray_tpu.parallel.mesh import make_render_mesh, shard_render_batch
 
@@ -102,7 +105,34 @@ class Renderer:
             # (renderer.cpp:204-209, 284-289); same files, same layout.
             save_photon_map(self.photon_maps[0], "photonmap.dat")
             save_photon_map(self.photon_maps[1], "caustics.dat")
+        if self._mesh is not None:
+            # Replicate the scene over the device mesh ONCE (the MPI analog:
+            # every rank loads the full scene, Renderer_MPI.cpp:54). The
+            # per-dispatch device_put in the shard wrapper then sees
+            # identically-placed committed arrays and is a no-op, instead of
+            # a per-round host->ICI broadcast of the whole scene.
+            from qaray_tpu.parallel.mesh import device_put_replicated
+
+            self.scene_arrays = device_put_replicated(self.scene_arrays, self._mesh)
+            if self.photon_maps is not None:
+                self.photon_maps = device_put_replicated(
+                    self.photon_maps, self._mesh
+                )
         return self.scene_arrays, self.meta
+
+    def _effective_batch(self) -> int:
+        """Device batch in pixel-lanes; the MC-GI expansion widens the
+        wavefront mc_samples-fold after the first bounce, so its dispatches
+        start proportionally smaller."""
+        p = self.param
+        if p.integrator == "mcgi" and p.mc_samples > 1:
+            return max(1, p.batch_pixels // p.mc_samples)
+        return p.batch_pixels
+
+    def _want_aux(self) -> bool:
+        """Request the irradiance-computation debug plane from the engine
+        (only meaningful for the photon-map integrator)."""
+        return self.param.integrator == "photonmap" and self.param.use_photon_map
 
     def signal_stop(self):
         self.stop_flag = True
@@ -119,6 +149,8 @@ class Renderer:
             integrator=p.integrator,
             max_bounce=p.max_bounce,
             shadow_spp=p.shadow_spp,
+            shadow_spp_max=p.shadow_spp_max,
+            mc_samples=p.mc_samples,
             inverse_square_falloff=inv_sq,
             use_photon_map=p.use_photon_map,
         )
@@ -146,8 +178,8 @@ class Renderer:
         # (a loaded checkpoint has uniform counts at round boundaries).
         s_start = int(fb.count.min())
 
-        if num_pixels <= self.param.batch_pixels:
-            pack = max(1, self.param.batch_pixels // max(num_pixels, 1))
+        if num_pixels <= self._effective_batch():
+            pack = max(1, self._effective_batch() // max(num_pixels, 1))
             s = s_start
             while s < p.spp_min:
                 if self.stop_flag:
@@ -203,23 +235,29 @@ class Renderer:
         ids_p[:n] = ids_tiled
         sids_p = np.zeros(padded, np.int32)
         sids_p[:n] = sids
-        radiance, t0 = self._render_fn(
+        out = self._render_fn(
             self.scene_arrays, meta, cfg,
             jax.numpy.asarray(ids_p % w), jax.numpy.asarray(ids_p // w),
             jax.numpy.asarray(sids_p), base_key, self.photon_maps,
+            want_aux=self._want_aux(),
         )
+        radiance, t0 = out[0], out[1]
         radiance = np.asarray(radiance)[:n].reshape(num_samples, num_pixels, 3)
         for k in range(num_samples):
             self.fb.accumulate(pixel_ids, radiance[k])
         if record_depth:
             self.fb.set_depth(pixel_ids, np.asarray(t0)[:num_pixels])
+        if len(out) > 2:
+            self.fb.mark_irradiance(
+                ids_tiled, np.asarray(out[2])[:n]
+            )
 
     def _render_round(self, cfg, pixel_ids: np.ndarray, sample_idx: int,
                       base_key, record_depth: bool):
         """One sample for each pixel id, chunked to the device batch size."""
         meta = self.meta
         w = meta.img_width
-        chunk = self.param.batch_pixels
+        chunk = self._effective_batch()
         for lo in range(0, pixel_ids.size, chunk):
             ids = pixel_ids[lo : lo + chunk]
             n = ids.size
@@ -229,14 +267,17 @@ class Renderer:
             px = jax.numpy.asarray(ids_p % w)
             py = jax.numpy.asarray(ids_p // w)
             sample_ids = jax.numpy.full((padded,), sample_idx, jax.numpy.int32)
-            radiance, t0 = self._render_fn(
+            out = self._render_fn(
                 self.scene_arrays, meta, cfg, px, py, sample_ids, base_key,
-                self.photon_maps,
+                self.photon_maps, want_aux=self._want_aux(),
             )
+            radiance, t0 = out[0], out[1]
             radiance = np.asarray(radiance)[:n]
             self.fb.accumulate(ids, radiance)
             if record_depth:
                 self.fb.set_depth(ids, np.asarray(t0)[:n])
+            if len(out) > 2:
+                self.fb.mark_irradiance(ids, np.asarray(out[2])[:n])
 
     def load_checkpoint(self, path: str):
         """Resume a render from a saved framebuffer state."""

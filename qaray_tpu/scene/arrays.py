@@ -195,3 +195,8 @@ class SceneMeta(NamedTuple):
     # selected by the compiler for world-baked scenes under a triangle
     # budget. Per-lane-gather BVH walks are the fallback for huge scenes.
     mesh_stream: bool = False
+    # The BVH builder's leaf budget: the traversal kernels unroll exactly
+    # this many triangle tests per leaf, so it MUST ride along with the
+    # compiled scene (a walk with a smaller static max_leaf silently skips
+    # triangles). Must be <= 7 (3-bit count in the packed-ref encoding).
+    max_leaf: int = 4

@@ -72,6 +72,11 @@ class SceneCompiler:
         world_bvh_max_tris: int = 8_000_000,
     ):
         self.scene = scene
+        if not (1 <= max_leaf <= 7):
+            raise ValueError(
+                f"max_leaf={max_leaf} out of range: the packed-BVH leaf "
+                "encoding holds counts in 3 bits (<= 7 triangles per leaf)"
+            )
         self.max_leaf = max_leaf
         # World-space instance baking (one merged BVH, no per-instance loop);
         # falls back to per-mesh object-space BVHs when instancing would
@@ -635,6 +640,7 @@ class SceneCompiler:
                 and arrays.mesh.stream_coeff is not None
                 and int(arrays.mesh.tri_v.shape[0]) <= _stream_max_tris()
             ),
+            max_leaf=self.max_leaf,
         )
         return arrays, meta
 

@@ -213,7 +213,7 @@ def test_stream_matches_bvh_walk():
     )
 
     stream = build_stream(tri_v)
-    t_sw, gid = stream_closest(pj, dj, t_init, stream)
+    t_sw, gid, _gid2 = stream_closest(pj, dj, t_init, stream)
     t_e, bary_e, front_e, valid = exact_winner(pj, dj, gid, jnp.asarray(tri_v))
 
     hit_bvh = np.asarray(tri_s) >= 0

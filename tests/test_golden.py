@@ -164,6 +164,73 @@ def test_texture_filter_golden():
     assert diff.mean() < 0.01, f"texture diff {diff.mean():.4f}"
 
 
+HIGH_SPP_CASES = [
+    # (scene, spp) — goldens from tools/make_highspp_goldens.py. `-spp N`
+    # pins sppMin == sppMax in the reference (main.cpp:21-24), so both
+    # renderers integrate exactly N samples/pixel and the comparison is an
+    # estimator-parity test, not a noise test.
+    ("example_project3_box.xml", 1024),
+    ("trc_mtl_glass.xml", 512),
+    ("trc_scene_xmas.xml", 256),
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("scene_name,spp", HIGH_SPP_CASES)
+def test_high_spp_parity(inputs_dir, scene_name, spp):
+    """BASELINE.md correctness bar: per-pixel (no block averaging) mean abs
+    diff <= 0.005 in sRGB at matched high sample counts, plus a
+    sigma-consistency check — per-pixel differences must be statistically
+    consistent with the accumulated variance planes (fb.color_std holds the
+    reference's own incremental sample-variance recurrence,
+    scene/scene.cpp:113-123)."""
+    golden_path = os.path.join(
+        GOLDEN_DIR, scene_name.replace(".xml", f"_{spp}spp.png")
+    )
+    if not os.path.exists(golden_path):
+        pytest.skip(f"golden missing: {golden_path}")
+    golden = _load_png(golden_path)  # sRGB in [0,1]
+
+    scene = load_scene(f"{inputs_dir}/{scene_name}")
+    scene.camera.img_width = 200
+    scene.camera.img_height = 150
+    p = RendererParam(spp_min=spp, spp_max=spp, integrator="photonmap")
+    r = Renderer(p)
+    r.compute_scene(scene)
+    fb = r.render()
+    ours = fb.img.reshape(150, 200, 3).astype(np.float32) / 255.0
+
+    diff = np.abs(golden - ours)
+    mean_diff = diff.mean()
+    assert mean_diff <= 0.005, (
+        f"{scene_name}@{spp}spp: per-pixel sRGB mean abs diff "
+        f"{mean_diff:.5f} > 0.005"
+    )
+
+    # Sigma-consistency: |ours - ref| per pixel vs the MC std of the mean.
+    # var(mean) = color_std / spp per renderer; the reference's estimator is
+    # the same so the difference's variance is ~2x ours. Push through the
+    # sRGB derivative, add the golden's 8-bit quantization floor, and
+    # require <1% of pixels beyond 4 sigma (a few-percent brightness skew in
+    # any lobe would blow this up).
+    from qaray_tpu.fb.framebuffer import linear_to_srgb_np
+
+    lin = fb.mean.reshape(150, 200, 3)
+    var_mean = fb.color_std.reshape(150, 200, 3) / spp
+    eps = 1e-4
+    dsrgb = (
+        linear_to_srgb_np(np.clip(lin + eps, 0, None))
+        - linear_to_srgb_np(np.clip(lin, 0, None))
+    ) / eps
+    sigma_srgb = np.abs(dsrgb) * np.sqrt(2.0 * np.maximum(var_mean, 0.0))
+    quant = 2.0 / 255.0  # golden + ours 8-bit rounding
+    sigma_eff = np.sqrt(sigma_srgb**2 + quant**2)
+    frac_bad = (diff > 4.0 * sigma_eff).mean()
+    assert frac_bad < 0.01, (
+        f"{scene_name}@{spp}spp: {frac_bad:.2%} of pixels beyond 4 sigma"
+    )
+
+
 @pytest.mark.parametrize("scene_name,spp,tol", CASES)
 def test_golden_parity(inputs_dir, scene_name, spp, tol):
     golden_path = os.path.join(

@@ -74,7 +74,7 @@ def main():
 
     @jax.jit
     def f_stream():
-        t, gid = stream_closest(p, d, t_init, stream)
+        t, gid, _ = stream_closest(p, d, t_init, stream)
         t_e, bary, front, valid = exact_winner(p, d, gid, tv)
         return t_e, jnp.where(valid, gid, -1), bary, front
 
