@@ -183,13 +183,9 @@ def shadow_analytic_pallas(p, d, t_max, prims: AnalyticPrims, kinds: tuple,
 
 
 @partial(jax.jit, static_argnames=("kinds", "interpret"))
-def closest_analytic_pallas(p, d, prims: AnalyticPrims, kinds: tuple,
-                            interpret: bool = False):
-    """Drop-in fused closest_analytic. kinds: static tuple of prim kinds.
-
-    Returns (t [B], prim_idx [B]) like ops.intersect.closest_analytic.
-    B is padded to the 1024-lane block internally.
-    """
+def _closest_analytic_pallas_raw(p, d, prims: AnalyticPrims, kinds: tuple,
+                                 interpret: bool = False):
+    """Forward-only fused closest_analytic (the Pallas kernel itself)."""
     num = p.shape[0]
     pad = (-num) % BLOCK
     pp = jnp.pad(p, ((0, pad), (0, 0)))
@@ -225,3 +221,77 @@ def closest_analytic_pallas(p, d, prims: AnalyticPrims, kinds: tuple,
     )(m_flat, t_flat, *comps)
 
     return t_out.reshape(-1)[:num], idx_out.reshape(-1)[:num]
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper: Pallas forward, winner-only XLA backward
+# ---------------------------------------------------------------------------
+
+
+def _winner_t(p, d, m_all, t_all, idx, kinds, t_fwd):
+    """Differentiable re-derivation of the winning primitive's t.
+
+    Gathers ONLY the winner per lane (O(B), vs the XLA path's O(B*P)
+    backward) and evaluates the same sphere/plane math as the kernel
+    (objects/objects.cpp:55-208). Miss lanes return a constant, so their
+    cotangent contributes nothing.
+    """
+    m = m_all[idx]  # [B,3,3]
+    tr = t_all[idx]  # [B,3]
+    po = jnp.einsum("bij,bj->bi", m, p - tr, precision="highest")
+    do = jnp.einsum("bij,bj->bi", m, d, precision="highest")
+
+    # Sphere: smaller positive quadratic root.
+    a = jnp.sum(do * do, axis=-1)
+    b = 2.0 * jnp.sum(po * do, axis=-1)
+    c = jnp.sum(po * po, axis=-1) - 1.0
+    delta = b * b - 4.0 * a * c
+    sq = jnp.sqrt(jnp.maximum(delta, 1e-12))  # clamped: finite grazing grads
+    rcp2a = 0.5 / jnp.maximum(a, 1e-20)
+    t1 = (-b - sq) * rcp2a
+    t2 = (-b + sq) * rcp2a
+    t_sph = jnp.where(t1 > BIAS, t1, t2)
+
+    # Plane: t = -z / dz.
+    doz = do[..., 2]
+    safe = jnp.where(jnp.abs(doz) < PLANE_EPS, PLANE_EPS, doz)
+    t_pln = -po[..., 2] / safe
+
+    kind_arr = jnp.asarray(kinds, jnp.int32)[idx]
+    tw = jnp.where(kind_arr == KIND_SPHERE, t_sph, t_pln)
+    hit = t_fwd < BIGFLOAT
+    return jnp.where(hit, tw, 0.0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def closest_analytic_pallas(p, d, prims: AnalyticPrims, kinds: tuple,
+                            interpret: bool = False):
+    """Drop-in fused closest_analytic. kinds: static tuple of prim kinds.
+
+    Returns (t [B], prim_idx [B]) like ops.intersect.closest_analytic.
+    B is padded to the 1024-lane block internally. Differentiable: the
+    backward pass re-derives the winner's t with XLA math (custom_vjp), so
+    the grad path no longer needs QARAY_NO_PALLAS.
+    """
+    return _closest_analytic_pallas_raw(p, d, prims, kinds, interpret)
+
+
+def _closest_fwd(p, d, prims, kinds, interpret=False):
+    t, idx = _closest_analytic_pallas_raw(p, d, prims, kinds, interpret)
+    return (t, idx), (p, d, prims, t, idx)
+
+
+def _closest_bwd(kinds, interpret, res, cts):
+    p, d, prims, t, idx = res
+    dt = cts[0]  # prim_idx is integer -> no cotangent
+
+    def f(p_, d_, m_, tr_):
+        return _winner_t(p_, d_, m_, tr_, idx, kinds, t)
+
+    _, vjp = jax.vjp(f, p, d, prims.m_w2o, prims.t_o2w)
+    gp, gd, gm, gtr = vjp(dt)
+    gprims = jax.tree.map(jnp.zeros_like, prims)._replace(m_w2o=gm, t_o2w=gtr)
+    return gp, gd, gprims
+
+
+closest_analytic_pallas.defvjp(_closest_fwd, _closest_bwd)

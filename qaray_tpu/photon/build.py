@@ -191,12 +191,21 @@ def trace_photon_paths(scene: SceneArrays, meta: SceneMeta, base_key,
 
 
 def _build_one_map(scene, meta, param, size, bounces, radius, caustics, seed,
-                   batch=4096, max_batches=64):
-    """Host loop: emit batches until `size` photons are stored."""
+                   batch=4096):
+    """Host loop: emit batches until `size` photons are stored.
+
+    Mirrors the reference's fill-until-full loop (renderer.cpp:148-198 /
+    225-277). The emission batch grows with the observed store rate so large
+    maps (-photon-map-size 1e6) fill in a few dispatches; if the scene
+    cannot store photons at all (no diffuse surfaces reachable), that is an
+    error — the reference would spin forever, we fail loudly instead.
+    """
     pos_all, dir_all, pow_all = [], [], []
     emitted_with_store = 0
     total = 0
-    for b in range(max_batches):
+    b = 0
+    zero_batches = 0
+    while total < size:
         key = jax.random.PRNGKey(seed + 7919 * b + (100000 if caustics else 0))
         mask, pos, pdir, ppow = trace_photon_paths(
             scene, meta, key, batch, bounces, caustics
@@ -209,8 +218,22 @@ def _build_one_map(scene, meta, param, size, bounces, radius, caustics, seed,
         dir_all.append(np.asarray(pdir).reshape(-1, 3)[idx])
         pow_all.append(np.asarray(ppow).reshape(-1, 3)[idx])
         total += idx.size
-        if total >= size:
-            break
+        b += 1
+        zero_batches = zero_batches + 1 if idx.size == 0 else 0
+        if zero_batches >= 8:
+            raise RuntimeError(
+                f"photon map cannot fill: 8 consecutive emission batches "
+                f"({8 * batch} paths) stored no photons "
+                f"({'caustics' if caustics else 'global'} map, "
+                f"{total}/{size} stored)"
+            )
+        # Scale the next batch to the remaining need (store rate so far),
+        # but keep the dispatch shape a power of two to bound recompiles.
+        if total and total < size:
+            rate = total / (b * batch * mask.shape[1])
+            need_paths = (size - total) / max(rate * mask.shape[1], 1e-9)
+            while batch < need_paths and batch < (1 << 20):
+                batch *= 2
     pos = np.concatenate(pos_all)[:size] if pos_all else np.zeros((0, 3), np.float32)
     pdir = np.concatenate(dir_all)[:size]
     ppow = np.concatenate(pow_all)[:size]

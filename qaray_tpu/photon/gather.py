@@ -55,8 +55,104 @@ def estimate_irradiance(
     MXU sweep (all in-radius photons contribute with r_eff = radius).
     """
     if max_photons is not None:
+        if pmap.pos.shape[0] > _STREAM_THRESHOLD:
+            return _estimate_capped_stream(pmap, p, max_photons, q_chunk)
         return _estimate_capped(pmap, p, max_photons, q_chunk)
     return _estimate_uncapped(pmap, p, chunk)
+
+
+# Above this map size the one-shot [Q, P] distance matrix + top_k over P
+# stops fitting comfortably; the two-pass streaming gather takes over.
+_STREAM_THRESHOLD = 32768
+_P_CHUNK = 2048  # photon chunk for the streaming passes
+
+
+def _estimate_capped_stream(pmap: PhotonMapData, p, max_photons: int,
+                            q_chunk: int):
+    """Exact `EstimateIrradiance<k>` at large map sizes (100k-1M photons).
+
+    Identical estimates to `_estimate_capped` (equivalence-tested), but the
+    photon axis is STREAMED in chunks instead of materialized as one [Q, P]
+    row: pass 1 scan-merges a running top-k distance set per query (top_k
+    over k + chunk columns) and counts in-radius photons, which yields the
+    exact shrunken radius; pass 2 re-streams the chunks and accumulates the
+    quadratic-filtered sums as [Q,C]x[C,3] MXU matmuls. No per-lane gathers,
+    no spatial structure — dense VPU/MXU work, O(Q*P) but with O(Q*k)
+    memory.
+    """
+    num_photons = pmap.pos.shape[0]
+    num_q = p.shape[0]
+    r2 = pmap.radius * pmap.radius
+    k = min(max_photons, num_photons)
+
+    pad_p = (-num_photons) % _P_CHUNK
+    pos = jnp.pad(pmap.pos, ((0, pad_p), (0, 0)))
+    power = jnp.pad(pmap.power, ((0, pad_p), (0, 0)))
+    maxp = jnp.pad(pmap.max_power, (0, pad_p))
+    pdir = jnp.pad(pmap.direction, ((0, pad_p), (0, 0)))
+    valid = jnp.pad(pmap.valid, (0, pad_p))
+    n_pc = (num_photons + pad_p) // _P_CHUNK
+    pos_c = pos.reshape(n_pc, _P_CHUNK, 3)
+    pow_c = power.reshape(n_pc, _P_CHUNK, 3)
+    maxp_c = maxp.reshape(n_pc, _P_CHUNK)
+    dir_c = pdir.reshape(n_pc, _P_CHUNK, 3)
+    val_c = valid.reshape(n_pc, _P_CHUNK)
+
+    q_chunk = min(q_chunk, max(num_q, 1))
+    pad_q = (-num_q) % q_chunk
+    q = jnp.pad(p, ((0, pad_q), (0, 0)))
+    n_qc = (num_q + pad_q) // q_chunk
+
+    def one_chunk(qc):  # [Qc, 3] -> ([Qc,3], [Qc,3])
+        def d2_of(cpos, cvalid):
+            d2 = jnp.sum((qc[:, None, :] - cpos[None, :, :]) ** 2, axis=-1)
+            return jnp.where(cvalid[None, :], d2, jnp.inf)
+
+        def pass1(carry, args):
+            topk, count = carry
+            d2 = d2_of(args[0], args[1])
+            merged = jnp.concatenate([topk, d2], axis=1)
+            topk = -jax.lax.top_k(-merged, k)[0]
+            count = count + jnp.sum(d2 < r2, axis=-1)
+            return (topk, count), None
+
+        init = (
+            jnp.full((qc.shape[0], k), jnp.inf, jnp.float32),
+            jnp.zeros((qc.shape[0],), jnp.int32),
+        )
+        (topk, count), _ = jax.lax.scan(pass1, init, (pos_c, val_c))
+        kth = topk[:, -1]
+        # dist2[0] shrinks only when STRICTLY MORE than k photons lie inside
+        # the radius (cyPhotonMap.h:497) — same rule as _estimate_capped.
+        r_eff2 = jnp.where(count > k, jnp.minimum(r2, kth), r2)
+        r_eff2 = jnp.maximum(r_eff2, 1e-30)
+
+        def pass2(carry, args):
+            irrad, dsum = carry
+            cpos, cpow, cmaxp, cdir, cvalid = args
+            d2 = d2_of(cpos, cvalid)
+            w = jnp.maximum(0.0, 1.0 - d2 / r_eff2[:, None])  # inf rows -> 0
+            irrad = irrad + jnp.dot(w, cpow, preferred_element_type=jnp.float32)
+            dsum = dsum + jnp.dot(
+                w * cmaxp[None, :], cdir, preferred_element_type=jnp.float32
+            )
+            return (irrad, dsum), None
+
+        init2 = (
+            jnp.zeros((qc.shape[0], 3), jnp.float32),
+            jnp.zeros((qc.shape[0], 3), jnp.float32),
+        )
+        (irrad, dsum), _ = jax.lax.scan(
+            pass2, init2, (pos_c, pow_c, maxp_c, dir_c, val_c)
+        )
+        area = jnp.pi * 0.5 * r_eff2
+        return irrad / area[:, None], normalize(dsum, eps=1e-30)
+
+    irrad, direction = jax.lax.map(one_chunk, q.reshape(n_qc, q_chunk, 3))
+    return (
+        irrad.reshape(-1, 3)[:num_q],
+        direction.reshape(-1, 3)[:num_q],
+    )
 
 
 def _estimate_capped(pmap: PhotonMapData, p, max_photons: int, q_chunk: int):

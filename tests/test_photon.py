@@ -93,6 +93,49 @@ def test_knn_cap_binds_like_reference_heap():
             )
 
 
+def test_streaming_gather_matches_dense():
+    """The large-map two-pass streaming gather (_estimate_capped_stream)
+    must produce the dense capped sweep's estimates exactly (same math,
+    different photon-axis blocking), including where the 100-NN radius cap
+    binds."""
+    from qaray_tpu.photon.gather import (
+        _estimate_capped,
+        _estimate_capped_stream,
+    )
+
+    rs = np.random.RandomState(3)
+    n = 5000
+    # Half uniform, half clustered at the origin so the cap binds there.
+    pos = np.concatenate(
+        [
+            rs.uniform(-1, 1, (n // 2, 3)),
+            rs.uniform(-0.1, 0.1, (n // 2, 3)),
+        ]
+    ).astype(np.float32)
+    power = rs.uniform(0, 0.1, (n, 3)).astype(np.float32)
+    d = rs.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    pmap = PhotonMapData(
+        pos=jnp.asarray(pos),
+        power=jnp.asarray(power),
+        max_power=jnp.asarray(power.max(axis=1)),
+        direction=jnp.asarray(d),
+        radius=jnp.asarray(np.float32(0.4)),
+        valid=jnp.asarray(np.arange(n) < n - 17),  # some padding lanes
+    )
+    qs = np.concatenate(
+        [np.zeros((4, 3)), rs.uniform(-1, 1, (60, 3))]
+    ).astype(np.float32)
+    i_dense, d_dense = _estimate_capped(pmap, jnp.asarray(qs), 100, 32)
+    i_stream, d_stream = _estimate_capped_stream(pmap, jnp.asarray(qs), 100, 32)
+    np.testing.assert_allclose(
+        np.asarray(i_dense), np.asarray(i_stream), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_dense), np.asarray(d_stream), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_padding_invariance():
     """Chunk padding lanes must not contribute."""
     pmap, pos, power, pdir = _make_map(n=100)

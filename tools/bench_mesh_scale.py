@@ -1,0 +1,258 @@
+#!/usr/bin/env python3
+"""Large-mesh traversal benchmark: closest-hit throughput vs triangle count.
+
+SURVEY.md ranks "BVH traversal on TPU" hard-part #1 (the reference's hot
+loop is TriObj::TraceBVHNode, objects/objects.cpp:324-419). This sweep
+measures the product mesh paths at realistic scales (1e5 .. 5e6 world
+triangles) on the live JAX device:
+
+  - packed:  fat-node per-lane BVH walk (ops/bvh_packed.py)
+  - stream:  dense gather-free sweep (ops/mesh_stream.py) — O(rays x tris),
+             benched only up to --stream-max tris
+  - anyhit:  packed walk occlusion variant (shadow-ray cost)
+
+Geometries (procedural, generated on host in seconds):
+  - icoN:     subdivided icosphere, 20 * 4^N faces — convex, shallow BVH,
+              high hit-rate; the traversal-friendly end.
+  - terrainN: N x N heightfield, 2(N-1)^2 faces, camera at an oblique
+              angle — long diagonal walks, realistic depth complexity.
+
+Usage: python tools/bench_mesh_scale.py [--rays 524288] [--stream-max 400000]
+       [--out bench_mesh_scale.json] [--cases ico7,ico8,ico9,terrain512,...]
+
+Writes one JSON dict per case to --out and prints a table.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_tpu_cache")
+sys.path.insert(0, ".")
+sys.path.insert(0, "tools")
+
+
+def icosphere_tris(subdiv: int) -> np.ndarray:
+    """[F,3,3] f32 triangle soup of a unit icosphere, 20*4^subdiv faces.
+
+    No vertex dedup (unnecessary for traversal benches): each subdivision
+    maps one triangle to four via edge midpoints, then vertices are
+    re-normalized to the sphere.
+    """
+    t = (1.0 + 5**0.5) / 2.0
+    v = np.array(
+        [
+            (-1, t, 0), (1, t, 0), (-1, -t, 0), (1, -t, 0),
+            (0, -1, t), (0, 1, t), (0, -1, -t), (0, 1, -t),
+            (t, 0, -1), (t, 0, 1), (-t, 0, -1), (-t, 0, 1),
+        ],
+        np.float64,
+    )
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    f = np.array(
+        [
+            (0, 11, 5), (0, 5, 1), (0, 1, 7), (0, 7, 10), (0, 10, 11),
+            (1, 5, 9), (5, 11, 4), (11, 10, 2), (10, 7, 6), (7, 1, 8),
+            (3, 9, 4), (3, 4, 2), (3, 2, 6), (3, 6, 8), (3, 8, 9),
+            (4, 9, 5), (2, 4, 11), (6, 2, 10), (8, 6, 7), (9, 8, 1),
+        ],
+        np.int64,
+    )
+    tri = v[f]  # [F,3,3]
+    for _ in range(subdiv):
+        a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]
+        ab = (a + b) / 2
+        bc = (b + c) / 2
+        ca = (c + a) / 2
+        for m in (ab, bc, ca):
+            m /= np.linalg.norm(m, axis=-1, keepdims=True)
+        tri = np.concatenate(
+            [
+                np.stack([a, ab, ca], 1),
+                np.stack([ab, b, bc], 1),
+                np.stack([ca, bc, c], 1),
+                np.stack([ab, bc, ca], 1),
+            ],
+            axis=0,
+        )
+    return tri.astype(np.float32)
+
+
+def terrain_tris(n: int, seed: int = 0) -> np.ndarray:
+    """[F,3,3] f32 heightfield over [-1,1]^2, 2(n-1)^2 faces.
+
+    Multi-octave value noise via random coarse grids bilinearly upsampled —
+    ridge/valley structure so oblique rays sweep long BVH walks.
+    """
+    rng = np.random.default_rng(seed)
+    h = np.zeros((n, n), np.float32)
+    scale = 0.5
+    for octave in (8, 32, 128):
+        if octave >= n:
+            break
+        coarse = rng.standard_normal((octave, octave)).astype(np.float32)
+        # Bilinear upsample to n x n.
+        xi = np.linspace(0, octave - 1, n)
+        x0 = np.clip(xi.astype(np.int64), 0, octave - 2)
+        fx = (xi - x0).astype(np.float32)
+        rows = (
+            coarse[x0] * (1 - fx)[:, None] + coarse[x0 + 1] * fx[:, None]
+        )
+        cols = rows[:, x0] * (1 - fx)[None, :] + rows[:, x0 + 1] * fx[None, :]
+        h += scale * cols
+        scale *= 0.5
+    h *= 0.15
+    xs = np.linspace(-1, 1, n, dtype=np.float32)
+    gx, gy = np.meshgrid(xs, xs, indexing="ij")
+    pts = np.stack([gx, h, gy], axis=-1)  # y-up heightfield
+    a = pts[:-1, :-1]
+    b = pts[1:, :-1]
+    c = pts[:-1, 1:]
+    d = pts[1:, 1:]
+    t1 = np.stack([a, b, c], axis=2).reshape(-1, 3, 3)
+    t2 = np.stack([b, d, c], axis=2).reshape(-1, 3, 3)
+    return np.concatenate([t1, t2]).astype(np.float32)
+
+
+def camera_rays(n: int, kind: str):
+    """Camera-like ray grid covering the geometry."""
+    side = int(np.sqrt(n))
+    u = (np.arange(n) % side) / side - 0.5
+    v = (np.arange(n) // side % side) / side - 0.5
+    p = np.zeros((n, 3), np.float32)
+    if kind == "ico":
+        p[:, 2] = 4.0
+        d = np.stack([u * 1.6, v * 1.6, -np.ones(n)], axis=-1)
+    else:  # terrain: oblique view from a corner
+        p[:] = (-1.8, 1.0, -1.8)
+        look = np.stack(
+            [u * 2.0 + 1.0, -0.6 + v * 0.8, np.ones(n) * 1.0], axis=-1
+        )
+        d = look
+    d = d.astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return p, d
+
+
+CASES = {
+    "ico6": lambda: ("ico", icosphere_tris(6)),      # 81,920
+    "ico7": lambda: ("ico", icosphere_tris(7)),      # 327,680
+    "ico8": lambda: ("ico", icosphere_tris(8)),      # 1,310,720
+    "ico9": lambda: ("ico", icosphere_tris(9)),      # 5,242,880
+    "terrain256": lambda: ("terrain", terrain_tris(256)),    # 130,050
+    "terrain724": lambda: ("terrain", terrain_tris(724)),    # 1,045,458
+    "terrain1601": lambda: ("terrain", terrain_tris(1601)),  # 5,120,000
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rays", type=int, default=1 << 19)
+    ap.add_argument("--stream-max", type=int, default=400_000)
+    ap.add_argument("--out", default="bench_mesh_scale.json")
+    ap.add_argument("--cases", default="ico6,ico7,ico8,ico9,terrain256,terrain724,terrain1601")
+    ap.add_argument("--walks", default="packed,stream,anyhit")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from qaray_tpu.core.constants import BIGFLOAT
+    from qaray_tpu.ops.bvh_packed import pack_bvh, traverse_bvh_packed
+    from qaray_tpu.ops.mesh_stream import (
+        build_stream,
+        exact_winner,
+        stream_closest,
+    )
+    from qaray_tpu.scene.bvh import build_bvh, bvh_depth
+
+    n_rays = args.rays
+    device = str(jax.devices()[0])
+    walks = args.walks.split(",")
+    results = []
+    print(f"device={device} rays={n_rays}")
+
+    for case in args.cases.split(","):
+        kind, tri_v = CASES[case]()
+        ntris = len(tri_v)
+        t_build0 = time.perf_counter()
+        bvh = build_bvh(tri_v)
+        build_s = time.perf_counter() - t_build0
+        depth = bvh_depth(bvh)
+        pn, lt, ref = pack_bvh(
+            bvh.bounds, bvh.left, bvh.right, bvh.count, bvh.elems, tri_v
+        )
+        pnodes, ltri = jnp.asarray(pn), jnp.asarray(lt)
+        tv = jnp.asarray(tri_v)
+        p_np, d_np = camera_rays(n_rays, kind)
+        p, d = jnp.asarray(p_np), jnp.asarray(d_np)
+        t_init = jnp.full((n_rays,), BIGFLOAT)
+        proots = jnp.full((n_rays,), ref[0], jnp.int32)
+        row = {
+            "case": case,
+            "tris": ntris,
+            "bvh_depth": depth,
+            "bvh_build_s": round(build_s, 3),
+        }
+
+        def timeit(fn):
+            out = jax.block_until_ready(fn())
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.block_until_ready(fn())
+                best = min(best, time.perf_counter() - t0)
+            return out, best
+
+        hit_rate = None
+        if "packed" in walks:
+            f = jax.jit(
+                lambda: traverse_bvh_packed(
+                    p, d, proots, t_init, pnodes, ltri, stack_size=depth + 2
+                )
+            )
+            out, dt = timeit(f)
+            hit_rate = float(np.mean(np.asarray(out[1]) >= 0))
+            row["packed_mrays_s"] = round(n_rays / dt / 1e6, 1)
+            row["hit_rate"] = round(hit_rate, 3)
+        if "anyhit" in walks:
+            t_mid = jnp.full((n_rays,), 4.0)
+            f = jax.jit(
+                lambda: traverse_bvh_packed(
+                    p, d, proots, t_mid, pnodes, ltri,
+                    stack_size=depth + 2, any_hit=True,
+                )
+            )
+            _, dt = timeit(f)
+            row["anyhit_mrays_s"] = round(n_rays / dt / 1e6, 1)
+        if "stream" in walks and ntris <= args.stream_max:
+            stream = build_stream(tri_v)
+
+            def f_stream():
+                t, gid, _ = stream_closest(p, d, t_init, stream)
+                return exact_winner(p, d, gid, tv)
+
+            _, dt = timeit(jax.jit(f_stream))
+            row["stream_mrays_s"] = round(n_rays / dt / 1e6, 1)
+            # Effective dense-sweep compute rate (6 dot products, ~36 flop
+            # per ray-triangle pair) — the MFU-style denominator for the
+            # stream path.
+            row["stream_tflops_eff"] = round(
+                n_rays * ntris * 36.0 / dt / 1e12, 1
+            )
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    with open(args.out, "w") as fp:
+        json.dump({"device": device, "rays": n_rays, "results": results}, fp,
+                  indent=2)
+
+
+if __name__ == "__main__":
+    main()
