@@ -76,6 +76,30 @@ def main():
         "vs_baseline_8thread_extrapolated": rays_per_s
         / BASELINE_8THREAD_EXTRAPOLATED,
     }
+    # Efficiency denominators: XLA's own cost model for one dispatch
+    # (lowered+compiled executable cost_analysis) against v5e peaks. A ray
+    # tracer is select/compare-heavy, so MFU is structurally low — the
+    # interesting numbers are achieved flops and HBM draw per dispatch.
+    try:
+        sample_ids = jnp.full((batch,), 0, jnp.int32)
+        compiled = (
+            render_batch.lower(arrays, meta, cfg, px, py, sample_ids, key)
+            .compile()
+        )
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0))
+        bytes_out = float(ca.get("bytes accessed", 0.0))
+        dispatch_s = batch / rays_per_s
+        details["xla_flops_per_dispatch"] = flops
+        details["xla_bytes_accessed_per_dispatch"] = bytes_out
+        details["achieved_tflops"] = flops / dispatch_s / 1e12
+        details["achieved_hbm_gbps"] = bytes_out / dispatch_s / 1e9
+        # v5e: 197 TFLOP/s bf16 MXU peak, ~819 GB/s HBM.
+        details["mfu_vs_v5e_bf16_peak"] = flops / dispatch_s / 197e12
+        details["hbm_util_vs_819gbps"] = bytes_out / dispatch_s / 819e9
+    except Exception as e:  # cost model availability varies by backend
+        details["cost_analysis_error"] = str(e)[:200]
     try:
         details["mesh_scene_rays_per_s"] = _mesh_bench()
     except Exception as e:  # mesh bench is best-effort

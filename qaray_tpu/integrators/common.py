@@ -320,13 +320,16 @@ def _quirk_ball(u, radius):
 
 
 def blinn_direct(scene, meta, cfg, p, n, v, diffuse, specular, glossiness, keys,
-                 skip_ambient: bool, norm_power: int):
+                 skip_ambient: bool, norm_power: int,
+                 spec_cos_nl: bool = True):
     """Sum of Blinn direct lighting over all lights.
 
     norm_power: 0 -> no 1/L normalization (Basic, MtlBlinn_Basic.cpp:168-182),
     1 -> PhotonMap convention (MtlBlinn_PhotonMap.cpp:482-498),
     2 -> PathTracing double-normalization quirk (MtlBlinn_PathTracing.cpp:
     163-175 multiplies normCoefDI into the intensity AND the sum term).
+    spec_cos_nl: False -> the MC-GI variant, whose specular term omits the
+    cosNL factor (MtlBlinn_MonteCarloGI.cpp:190-196).
     """
     num_lights = meta.num_lights
     total = jnp.zeros_like(p)
@@ -347,5 +350,8 @@ def blinn_direct(scene, meta, cfg, p, n, v, diffuse, specular, glossiness, keys,
         cos_nl = jnp.maximum(0.0, dot(n, l_dir))
         cos_nh = jnp.maximum(0.0, dot(n, h))
         spec = specular * pow_safe(cos_nh, glossiness)[:, None]
-        total = total + intensity * cos_nl[:, None] * (diffuse + spec)
+        if spec_cos_nl:
+            total = total + intensity * cos_nl[:, None] * (diffuse + spec)
+        else:
+            total = total + intensity * (diffuse * cos_nl[:, None] + spec)
     return total

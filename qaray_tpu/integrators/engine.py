@@ -418,10 +418,13 @@ def _basic_family_vertex(scene, meta, cfg, hits, mtl, v, keys, has_diffuse_hit,
         mtl.reflection + mtl.refraction * r_c[:, None],
     )
 
-    # Direct lighting: front hits only, ambient included, no normalization.
-    # direct_lighting=False skips it entirely — used by the MC-GI N-sample
-    # expansion, whose extra replicas only need continuation draws (the
-    # reference evaluates direct once per vertex, MtlBlinn_MonteCarloGI.cpp).
+    # Direct lighting: front hits only, no normalization. Ambient is
+    # included for Basic/Phong but SKIPPED by MC-GI (its ambient line is
+    # commented out, MtlBlinn_MonteCarloGI.cpp:187-188 — the hemisphere
+    # integral replaces it), and MC-GI's specular term carries no cosNL
+    # (:190-196). direct_lighting=False skips it entirely — used by the
+    # MC-GI N-sample expansion, whose extra replicas only need continuation
+    # draws (the reference evaluates direct once per vertex).
     zero = jnp.zeros_like(p)
     if not direct_lighting:
         vertex_color = zero
@@ -431,9 +434,15 @@ def _basic_family_vertex(scene, meta, cfg, hits, mtl, v, keys, has_diffuse_hit,
     else:
         direct = C.blinn_direct(
             scene, meta, cfg, p, n, v, mtl.diffuse, mtl.specular,
-            mtl.glossiness, keys, skip_ambient=False, norm_power=0,
+            mtl.glossiness, keys, skip_ambient=mcgi, norm_power=0,
+            spec_cos_nl=not mcgi,
         )
         vertex_color = jnp.where(front[:, None], direct, zero)
+        if mcgi:
+            # MC-GI seeds color with emission unconditionally (before the
+            # hasFrontHit gate, MtlBlinn_MonteCarloGI.cpp:113-115); Basic
+            # and Phong start from black (MtlBlinn_Basic.cpp:37).
+            vertex_color = vertex_color + mtl.emission
 
     # Children.
     can_bounce = bounce_remaining > 0
@@ -451,7 +460,12 @@ def _basic_family_vertex(scene, meta, cfg, hits, mtl, v, keys, has_diffuse_hit,
             mtl.specular * (cos_nl * pow_safe(cos_nh, mtl.glossiness))[:, None]
             + mtl.diffuse
         )
-        spawn_d = front & can_bounce & (luma(mtl.diffuse) > 1e-6)
+        # The reference's GI loop runs for every front hit with bounces left
+        # (no diffuse gate — the estimator weight includes a specular lobe
+        # term, MtlBlinn_MonteCarloGI.cpp:258-260).
+        spawn_d = front & can_bounce & (
+            (luma(mtl.diffuse) > 1e-6) | (luma(mtl.specular) > 1e-6)
+        )
     else:
         d_dir = r_dir
         d_k = jnp.zeros_like(p)

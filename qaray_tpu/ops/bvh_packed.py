@@ -26,6 +26,15 @@ This variant restructures the *memory layout*, not the algorithm:
   indirection gather, and the winning lane's global id (for the attribute
   pass) rides along for free.
 
+A third variant — a stackless skip-pointer ("threaded") walk with one
+int32 of per-lane state — was built and benched in round 2 and removed in
+round 3: it loses the near-child-first ordering (so it re-tests boxes the
+packed walk prunes), still pays one full-node gather per step, and its
+host-side threading pass is a per-node Python loop that does not scale to
+the multi-million-node BVHs this module targets. Lesson kept: per-lane
+state size was never the bottleneck — gather count per visited node is,
+which is exactly what the fat-node layout minimizes.
+
 Numerics are identical to ops/bvh_traverse.py: same slab test (reciprocal
 trick, 1e-7 parallel guard mapped to (-inf, inf), entry < t_best and
 exit > BIAS pruning) and the same dominant-axis triangle test

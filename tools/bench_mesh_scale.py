@@ -119,14 +119,14 @@ def terrain_tris(n: int, seed: int = 0) -> np.ndarray:
 
 
 def camera_rays(n: int, kind: str):
-    """Camera-like ray grid covering the geometry."""
+    """Camera-like ray grid covering the geometry (hit rate ~0.4-0.8)."""
     side = int(np.sqrt(n))
     u = (np.arange(n) % side) / side - 0.5
     v = (np.arange(n) // side % side) / side - 0.5
     p = np.zeros((n, 3), np.float32)
     if kind == "ico":
         p[:, 2] = 4.0
-        d = np.stack([u * 1.6, v * 1.6, -np.ones(n)], axis=-1)
+        d = np.stack([u * 0.7, v * 0.7, -np.ones(n)], axis=-1)
     else:  # terrain: oblique view from a corner
         p[:] = (-1.8, 1.0, -1.8)
         look = np.stack(
@@ -156,7 +156,65 @@ def main():
     ap.add_argument("--out", default="bench_mesh_scale.json")
     ap.add_argument("--cases", default="ico6,ico7,ico8,ico9,terrain256,terrain724,terrain1601")
     ap.add_argument("--walks", default="packed,stream,anyhit")
+    # Canonical padded shapes: through the axon tunnel a fresh XLA compile of
+    # a while_loop walk costs MINUTES, and every distinct pnodes/ltri shape
+    # is a fresh compile. Padding all cases to one (pnodes_rows, ltri_rows)
+    # ceiling makes the packed/anyhit walks compile ONCE for the whole
+    # sweep. The walk only touches nodes it visits, so padding changes
+    # nothing about the measured traversal. (The stream sweep is NOT padded
+    # this way - its cost is proportional to the array size.)
+    ap.add_argument("--pad-pnodes", type=int, default=4_000_000)
+    ap.add_argument("--pad-ltri", type=int, default=6_000_000)
+    ap.add_argument("--stack", type=int, default=64)
+    # Driver mode: the axon runtime nondeterministically hangs some repeat
+    # dispatches of while_loop executables (a second call of an executable
+    # that just ran in 0.2 ms can block forever). --driver runs every
+    # (case) as a SUBPROCESS with a timeout and retries, collecting the
+    # JSON rows the child prints.
+    ap.add_argument("--driver", action="store_true")
+    ap.add_argument("--case-timeout", type=int, default=900)
+    ap.add_argument("--retries", type=int, default=2)
     args = ap.parse_args()
+
+    if args.driver:
+        import subprocess
+
+        results = []
+        for case in args.cases.split(","):
+            row = None
+            for attempt in range(args.retries + 1):
+                cmd = [
+                    sys.executable, __file__, "--rays", str(args.rays),
+                    "--stream-max", str(args.stream_max),
+                    "--cases", case, "--walks", args.walks,
+                    "--pad-pnodes", str(args.pad_pnodes),
+                    "--pad-ltri", str(args.pad_ltri),
+                    "--stack", str(args.stack),
+                    "--out", f"/tmp/mesh_scale_{case}.json",
+                ]
+                try:
+                    proc = subprocess.run(
+                        cmd, timeout=args.case_timeout, capture_output=True,
+                        text=True,
+                    )
+                except subprocess.TimeoutExpired:
+                    print(f"{case}: attempt {attempt} timed out", flush=True)
+                    continue
+                for line in proc.stdout.splitlines():
+                    if line.startswith("{"):
+                        row = json.loads(line)
+                if row is not None:
+                    break
+                print(f"{case}: attempt {attempt} rc={proc.returncode} "
+                      f"{proc.stderr[-300:]}", flush=True)
+            if row is not None:
+                results.append(row)
+                print(json.dumps(row), flush=True)
+            else:
+                results.append({"case": case, "error": "all attempts failed"})
+        with open(args.out, "w") as fp:
+            json.dump({"rays": args.rays, "results": results}, fp, indent=2)
+        return
 
     import jax
     import jax.numpy as jnp
@@ -188,6 +246,10 @@ def main():
         pn, lt, ref = pack_bvh(
             bvh.bounds, bvh.left, bvh.right, bvh.count, bvh.elems, tri_v
         )
+        assert depth + 2 <= args.stack, f"{case}: depth {depth} > stack"
+        assert pn.shape[0] <= args.pad_pnodes and lt.shape[0] <= args.pad_ltri
+        pn = np.pad(pn, ((0, args.pad_pnodes - pn.shape[0]), (0, 0)))
+        lt = np.pad(lt, ((0, args.pad_ltri - lt.shape[0]), (0, 0)))
         pnodes, ltri = jnp.asarray(pn), jnp.asarray(lt)
         tv = jnp.asarray(tri_v)
         p_np, d_np = camera_rays(n_rays, kind)
@@ -201,44 +263,45 @@ def main():
             "bvh_build_s": round(build_s, 3),
         }
 
-        def timeit(fn):
-            out = jax.block_until_ready(fn())
+        # NOTE: the traversal entry points are already @jax.jit with the
+        # arrays as ARGUMENTS. Wrapping them in a zero-arg jit(lambda: ...)
+        # would bake pnodes/ltri (hundreds of MB) into the HLO as constants
+        # — through the axon remote-compile tunnel that upload dominated the
+        # "compile" time and overflows the request size at scale (HTTP 413).
+        def timeit(fn, *a, **kw):
+            out = jax.block_until_ready(fn(*a, **kw))
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                jax.block_until_ready(fn())
+                jax.block_until_ready(fn(*a, **kw))
                 best = min(best, time.perf_counter() - t0)
             return out, best
 
         hit_rate = None
         if "packed" in walks:
-            f = jax.jit(
-                lambda: traverse_bvh_packed(
-                    p, d, proots, t_init, pnodes, ltri, stack_size=depth + 2
-                )
+            out, dt = timeit(
+                traverse_bvh_packed, p, d, proots, t_init, pnodes, ltri,
+                stack_size=args.stack,
             )
-            out, dt = timeit(f)
             hit_rate = float(np.mean(np.asarray(out[1]) >= 0))
             row["packed_mrays_s"] = round(n_rays / dt / 1e6, 1)
             row["hit_rate"] = round(hit_rate, 3)
         if "anyhit" in walks:
             t_mid = jnp.full((n_rays,), 4.0)
-            f = jax.jit(
-                lambda: traverse_bvh_packed(
-                    p, d, proots, t_mid, pnodes, ltri,
-                    stack_size=depth + 2, any_hit=True,
-                )
+            _, dt = timeit(
+                traverse_bvh_packed, p, d, proots, t_mid, pnodes, ltri,
+                stack_size=args.stack, any_hit=True,
             )
-            _, dt = timeit(f)
             row["anyhit_mrays_s"] = round(n_rays / dt / 1e6, 1)
         if "stream" in walks and ntris <= args.stream_max:
             stream = build_stream(tri_v)
 
-            def f_stream():
+            @jax.jit
+            def f_stream(p, d, t_init, stream, tv):
                 t, gid, _ = stream_closest(p, d, t_init, stream)
                 return exact_winner(p, d, gid, tv)
 
-            _, dt = timeit(jax.jit(f_stream))
+            _, dt = timeit(f_stream, p, d, t_init, stream, tv)
             row["stream_mrays_s"] = round(n_rays / dt / 1e6, 1)
             # Effective dense-sweep compute rate (6 dot products, ~36 flop
             # per ray-triangle pair) — the MFU-style denominator for the
