@@ -48,20 +48,28 @@ def main():
         radiance, t0 = render_batch(arrays, meta, cfg, px, py, sample_ids, key)
         return radiance
 
-    # Warmup / compile, plus a few extra rounds to settle the device clock.
-    step(0).block_until_ready()
-    for s in range(1, 4):
-        step(s).block_until_ready()
+    # Warmup / compile. NOTE on timing honesty: on the axon backend,
+    # `block_until_ready` can return before the dispatch actually completes
+    # (measured: a traversal that takes seconds wall-clock "blocks" in
+    # 0.2 ms), silently turning a throughput bench into an enqueue bench.
+    # Every measurement therefore ends by pulling a SCALAR REDUCTION of the
+    # output to host (float(x.min())) — 4 bytes, forces real completion.
+    def sync(x):
+        return float(x.min())
 
-    # Pipelined measurement (how the renderer actually dispatches rounds),
-    # best-of-3 to shed tunnel latency outliers.
+    sync(step(0))
+    for s in range(1, 4):
+        sync(step(s))
+
+    # Pipelined measurement (how the renderer actually dispatches rounds —
+    # it pulls each round's radiance to host), best-of-3.
     rounds = 20
     best = float("inf")
     s0 = 4
     for trial in range(3):
         t_start = time.perf_counter()
         outs = [step(s0 + s) for s in range(rounds)]
-        outs[-1].block_until_ready()
+        sync(outs[-1])
         best = min(best, time.perf_counter() - t_start)
         s0 += rounds
     rays_per_s = rounds * batch / best
@@ -154,15 +162,16 @@ def _grad_bench():
         sids = jnp.full((batch,), s, jnp.int32)
         return render_value_and_grad(arrays, meta, cfg, px, py, sids, key)
 
-    step(0)[0].block_until_ready()
-    step(1)[0].block_until_ready()
+    # Forced-sync (see main(): block_until_ready can lie on this backend).
+    float(step(0)[0].min())
+    float(step(1)[0].min())
     rounds = 20
     best = float("inf")
     s0 = 2
     for _ in range(3):
         t0 = time.perf_counter()
         outs = [step(s0 + s) for s in range(rounds)]
-        jax.block_until_ready(outs[-1])
+        float(outs[-1][0].min())
         best = min(best, time.perf_counter() - t0)
         s0 += rounds
     return rounds * batch / best
@@ -193,13 +202,13 @@ def _mesh_bench():
     def step(s):
         return render_batch(arrays, meta, cfg, px, py, sids + s, key)[0]
 
-    step(0).block_until_ready()
+    float(step(0).min())  # forced-sync warmup
     rounds = 10
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
         outs = [step(s) for s in range(1, rounds + 1)]
-        outs[-1].block_until_ready()
+        float(outs[-1].min())
         best = min(best, time.perf_counter() - t0)
     return rounds * batch / best
 

@@ -94,6 +94,55 @@ def _use_stream(meta) -> bool:
     return meta.mesh_stream and jax.default_backend() == "tpu"
 
 
+def _use_tiles(meta) -> bool:
+    """Tiled packet-culled sweep (ops/mesh_tiles.py): the large-mesh TPU
+    path, compiled in above the stream triangle budget. QARAY_MESH_PATH=bvh
+    still forces the walk; =tiles forces the tiled sweep on any backend
+    (parity tests)."""
+    import os
+
+    mode = os.environ.get("QARAY_MESH_PATH", "auto")
+    if mode == "bvh":
+        return False
+    if mode == "tiles":
+        return meta.mesh_tiled
+    return meta.mesh_tiled and jax.default_backend() == "tpu"
+
+
+def _tiles_of(scene):
+    from qaray_tpu.ops.mesh_tiles import TiledMesh
+
+    return TiledMesh(
+        scene.mesh.tile_coeff, scene.mesh.tile_const,
+        scene.mesh.tile_gid, scene.mesh.tile_cbounds,
+    )
+
+
+def _tiled_closest(scene, meta, p, d, t_cur):
+    """Tiled packet-culled closest hit with exact winner re-test and
+    runner-up fallback (same discipline as _stream_closest)."""
+    from qaray_tpu.ops.mesh_tiles import exact_winner_rows, tiled_sweep
+
+    tiles = _tiles_of(scene)
+    t_s, rows, rows2 = tiled_sweep(p, d, t_cur, tiles)
+    t_e, bary, front, valid, gid = exact_winner_rows(
+        p, d, rows, tiles, scene.mesh.tri_v
+    )
+    t2, bary2, front2, valid2, gid2 = exact_winner_rows(
+        p, d, rows2, tiles, scene.mesh.tri_v
+    )
+    use2 = (~valid) & valid2
+    gid = jnp.where(use2, gid2, gid)
+    t_e = jnp.where(use2, t2, t_e)
+    bary = jnp.where(use2[:, None], bary2, bary)
+    front = jnp.where(use2, front2, front)
+    valid |= use2
+    valid &= t_e < t_cur
+    tri = jnp.where(valid, gid, -1)
+    t = jnp.where(valid, t_e, BIGFLOAT)
+    return t, tri, bary, front
+
+
 def _stream_closest(scene, meta, p, d, t_cur):
     """Streaming closest hit (world-baked scenes only)."""
     from qaray_tpu.ops.mesh_stream import (
@@ -131,7 +180,9 @@ def _mesh_closest(scene: SceneArrays, meta: SceneMeta, p, d, t_cur):
     per-instance object-space loop."""
     num_rays = p.shape[0]
     if meta.world_bvh:
-        if _use_stream(meta):
+        if _use_tiles(meta):
+            t, tri, bary, front = _tiled_closest(scene, meta, p, d, t_cur)
+        elif _use_stream(meta):
             t, tri, bary, front = _stream_closest(scene, meta, p, d, t_cur)
         else:
             inst = scene.instances
@@ -355,6 +406,14 @@ def trace_shadow(scene: SceneArrays, meta: SceneMeta, p, d, t_max):
     if meta.num_mesh_instances > 0:
         inst = scene.instances
         if meta.world_bvh:
+            if _use_tiles(meta):
+                from qaray_tpu.ops.mesh_tiles import tiled_sweep
+
+                budget = jnp.where(occluded, 0.0, t_max)
+                occluded |= tiled_sweep(
+                    p, d, budget, _tiles_of(scene), any_hit=True
+                )
+                return occluded
             if _use_stream(meta):
                 from qaray_tpu.ops.mesh_stream import (
                     StreamTris,

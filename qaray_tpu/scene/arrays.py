@@ -72,9 +72,17 @@ class MeshArrays(NamedTuple):
     pnodes: jnp.ndarray = None  # [Ni, 16] f32 (child boxes + bitcast refs)
     ltri: jnp.ndarray = None  # [F, 12] f32 leaf-ordered [v0 v1 v2 gid pad]
     # Streaming sweep coefficients (ops/mesh_stream.py): gather-free dense
-    # triangle intersection, the default mesh path on TPU.
+    # triangle intersection, the default mesh path on TPU up to the stream
+    # triangle budget.
     stream_coeff: jnp.ndarray = None  # [Fp, 3, 3] rows n, A, B
     stream_const: jnp.ndarray = None  # [Fp, 4] k, A0, B0, |n|
+    # Tiled packet-culled sweep (ops/mesh_tiles.py): Morton-clustered
+    # coefficients + cluster AABBs — the large-mesh TPU path (built instead
+    # of the flat stream above the triangle budget).
+    tile_coeff: jnp.ndarray = None  # [Fp, 3, 3] Morton order
+    tile_const: jnp.ndarray = None  # [Fp, 4]
+    tile_gid: jnp.ndarray = None  # [Fp] original triangle id
+    tile_cbounds: jnp.ndarray = None  # [C, 6] cluster AABBs
 
 
 class MeshInstances(NamedTuple):
@@ -195,6 +203,9 @@ class SceneMeta(NamedTuple):
     # selected by the compiler for world-baked scenes under a triangle
     # budget. Per-lane-gather BVH walks are the fallback for huge scenes.
     mesh_stream: bool = False
+    # Tiled packet-culled mesh path (ops/mesh_tiles.py): built by the
+    # compiler for world-baked scenes ABOVE the stream triangle budget.
+    mesh_tiled: bool = False
     # The BVH builder's leaf budget: the traversal kernels unroll exactly
     # this many triangle tests per leaf, so it MUST ride along with the
     # compiled scene (a walk with a smaller static max_leaf silently skips

@@ -320,7 +320,22 @@ class SceneCompiler:
         pnodes, ltri, node_ref = pack_bvh(
             bvh.bounds, bvh.left, bvh.right, bvh.count, bvh.elems, wv
         )
-        stream = build_stream(wv)
+        # Mesh-path arrays: flat dense sweep under the stream budget, tiled
+        # packet-culled sweep above it (ops/mesh_tiles.py) — building only
+        # the selected one keeps device memory to one coefficient set.
+        tile_kw = {}
+        if wv.shape[0] <= _stream_max_tris():
+            stream = build_stream(wv)
+            tile_kw["stream_coeff"] = stream.coeff
+            tile_kw["stream_const"] = stream.const
+        else:
+            from qaray_tpu.ops.mesh_tiles import build_tiles
+
+            tiles = build_tiles(wv)
+            tile_kw["tile_coeff"] = tiles.coeff
+            tile_kw["tile_const"] = tiles.const
+            tile_kw["tile_gid"] = tiles.gid
+            tile_kw["tile_cbounds"] = tiles.cbounds
         mesh_arrays = MeshArrays(
             tri_v=jnp.asarray(wv),
             tri_n=jnp.asarray(np.concatenate(wn_l)),
@@ -334,8 +349,7 @@ class SceneCompiler:
             bvh_elems=jnp.asarray(bvh.elems),
             pnodes=jnp.asarray(pnodes),
             ltri=jnp.asarray(ltri),
-            stream_coeff=stream.coeff,
-            stream_const=stream.const,
+            **tile_kw,
         )
         bbox = (
             np.concatenate([wv.reshape(-1, 3).min(0), wv.reshape(-1, 3).max(0)])
@@ -640,6 +654,7 @@ class SceneCompiler:
                 and arrays.mesh.stream_coeff is not None
                 and int(arrays.mesh.tri_v.shape[0]) <= _stream_max_tris()
             ),
+            mesh_tiled=(use_world and arrays.mesh.tile_coeff is not None),
             max_leaf=self.max_leaf,
         )
         return arrays, meta

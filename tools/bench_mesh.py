@@ -62,36 +62,34 @@ def main():
     t_max = jnp.full((n_rays,), 6.0)
     proots = jnp.full((n_rays,), ref[0], jnp.int32)
 
-    def timeit(name, fn):
-        out = jax.block_until_ready(fn())
+    # NOTE: pass arrays as ARGUMENTS to jitted fns — closing over them in a
+    # zero-arg jit bakes them into the HLO as constants, which the axon
+    # remote-compile tunnel uploads per compile (minutes at 100k+ tris,
+    # HTTP 413 beyond ~0.5 GB).
+    def timeit(name, fn, *a, **kw):
+        out = jax.block_until_ready(fn(*a, **kw))
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn())
+            jax.block_until_ready(fn(*a, **kw))
             best = min(best, time.perf_counter() - t0)
         print(f"{name:>10}: {best*1e3:9.2f} ms   {n_rays/best/1e6:9.1f} Mray/s")
         return out
 
     @jax.jit
-    def f_stream():
+    def f_stream(p, d, t_init, stream, tv):
         t, gid, _ = stream_closest(p, d, t_init, stream)
         t_e, bary, front, valid = exact_winner(p, d, gid, tv)
         return t_e, jnp.where(valid, gid, -1), bary, front
 
-    out_st = timeit("stream", f_stream)
+    out_st = timeit("stream", f_stream, p, d, t_init, stream, tv)
 
-    @jax.jit
-    def f_anyhit():
-        return stream_any_hit(p, d, t_max, stream)
+    timeit("anyhit", stream_any_hit, p, d, t_max, stream)
 
-    timeit("anyhit", f_anyhit)
-
-    f_packed = jax.jit(
-        lambda: traverse_bvh_packed(
-            p, d, proots, t_init, pnodes, ltri, stack_size=depth + 2
-        )
+    out_pk = timeit(
+        "packed", traverse_bvh_packed, p, d, proots, t_init, pnodes, ltri,
+        stack_size=depth + 2,
     )
-    out_pk = timeit("packed", f_packed)
 
     t_s, tri_s = np.asarray(out_st[0]), np.asarray(out_st[1])
     t_p, tri_p = np.asarray(out_pk[0]), np.asarray(out_pk[1])
