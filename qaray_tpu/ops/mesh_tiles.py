@@ -296,6 +296,37 @@ def tiled_sweep(p, d, t_cur, tiles: TiledMesh, packet: int = PACKET,
     )
 
 
+def coherence_order(p, d, scene_lo, scene_hi):
+    """Sort key for ray coherence: direction octant (3 bits) then a 15-bit
+    Morton code of the origin. Packets of sorted rays share tight
+    origin-boxes and single-sign direction intervals, which is exactly what
+    `_packet_cull` needs; primary camera batches are already coherent, but
+    bounce/shadow wavefronts are not. Returns the permutation [B].
+
+    Pure reordering: the sweep's winners are per-ray, so sorting + inverse
+    scatter is bit-neutral on results (tested).
+    """
+    ext = jnp.maximum(scene_hi - scene_lo, 1e-12)
+    q = jnp.clip((p - scene_lo) / ext * 31.0, 0.0, 31.0).astype(jnp.uint32)
+
+    def spread5(v):  # 5 bits -> every 3rd position
+        v = (v | (v << 8)) & jnp.uint32(0x0100F)
+        v = (v | (v << 4)) & jnp.uint32(0x010C3)
+        v = (v | (v << 2)) & jnp.uint32(0x09249)
+        return v
+
+    morton = (
+        spread5(q[:, 0]) | (spread5(q[:, 1]) << 1) | (spread5(q[:, 2]) << 2)
+    )
+    octant = (
+        (d[:, 0] >= 0).astype(jnp.uint32)
+        | ((d[:, 1] >= 0).astype(jnp.uint32) << 1)
+        | ((d[:, 2] >= 0).astype(jnp.uint32) << 2)
+    )
+    key = (octant << 15) | morton
+    return jnp.argsort(key)
+
+
 def exact_winner_rows(p, d, rows, tiles: TiledMesh, tri_v):
     """Exact re-test of per-ray winner rows; returns (t, bary, front, valid,
     gid) with gid the ORIGINAL triangle id (reference numerics, one [B]

@@ -118,13 +118,32 @@ def _tiles_of(scene):
     )
 
 
+def _tile_perm(p, d, tiles):
+    """Coherence sort for the tiled sweep (None = identity / disabled)."""
+    import os
+
+    if os.environ.get("QARAY_TILE_SORT", "1") == "0":
+        return None
+    from qaray_tpu.ops.mesh_tiles import coherence_order
+
+    lo = jnp.min(tiles.cbounds[:, :3], axis=0)
+    hi = jnp.max(tiles.cbounds[:, 3:], axis=0)
+    return coherence_order(p, d, lo, hi)
+
+
 def _tiled_closest(scene, meta, p, d, t_cur):
     """Tiled packet-culled closest hit with exact winner re-test and
     runner-up fallback (same discipline as _stream_closest)."""
     from qaray_tpu.ops.mesh_tiles import exact_winner_rows, tiled_sweep
 
     tiles = _tiles_of(scene)
-    t_s, rows, rows2 = tiled_sweep(p, d, t_cur, tiles)
+    perm = _tile_perm(p, d, tiles)
+    if perm is not None:
+        inv = jnp.argsort(perm)
+        _, rows_s, rows2_s = tiled_sweep(p[perm], d[perm], t_cur[perm], tiles)
+        rows, rows2 = rows_s[inv], rows2_s[inv]
+    else:
+        _, rows, rows2 = tiled_sweep(p, d, t_cur, tiles)
     t_e, bary, front, valid, gid = exact_winner_rows(
         p, d, rows, tiles, scene.mesh.tri_v
     )
@@ -409,10 +428,17 @@ def trace_shadow(scene: SceneArrays, meta: SceneMeta, p, d, t_max):
             if _use_tiles(meta):
                 from qaray_tpu.ops.mesh_tiles import tiled_sweep
 
+                tiles = _tiles_of(scene)
                 budget = jnp.where(occluded, 0.0, t_max)
-                occluded |= tiled_sweep(
-                    p, d, budget, _tiles_of(scene), any_hit=True
-                )
+                perm = _tile_perm(p, d, tiles)
+                if perm is not None:
+                    inv = jnp.argsort(perm)
+                    occ_s = tiled_sweep(
+                        p[perm], d[perm], budget[perm], tiles, any_hit=True
+                    )
+                    occluded |= occ_s[inv]
+                else:
+                    occluded |= tiled_sweep(p, d, budget, tiles, any_hit=True)
                 return occluded
             if _use_stream(meta):
                 from qaray_tpu.ops.mesh_stream import (

@@ -268,12 +268,19 @@ def main():
         # would bake pnodes/ltri (hundreds of MB) into the HLO as constants
         # — through the axon remote-compile tunnel that upload dominated the
         # "compile" time and overflows the request size at scale (HTTP 413).
+        def sync(out):
+            # block_until_ready can return before completion on the axon
+            # backend; a scalar reduction pulled to host cannot lie.
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            float(leaf.reshape(-1)[:1].astype(jnp.float32).min())
+            return out
+
         def timeit(fn, *a, **kw):
-            out = jax.block_until_ready(fn(*a, **kw))
+            out = sync(fn(*a, **kw))
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                jax.block_until_ready(fn(*a, **kw))
+                sync(fn(*a, **kw))
                 best = min(best, time.perf_counter() - t0)
             return out, best
 
@@ -293,6 +300,35 @@ def main():
                 stack_size=args.stack, any_hit=True,
             )
             row["anyhit_mrays_s"] = round(n_rays / dt / 1e6, 1)
+        if "tiles" in walks:
+            from qaray_tpu.ops.mesh_tiles import (
+                build_tiles,
+                exact_winner_rows,
+                tiled_sweep,
+            )
+
+            t_build0 = time.perf_counter()
+            tiles = build_tiles(tri_v)
+            row["tiles_build_s"] = round(time.perf_counter() - t_build0, 3)
+
+            @jax.jit
+            def f_tiles(p, d, t_init, tiles, tv):
+                t, rows_, _ = tiled_sweep(p, d, t_init, tiles)
+                return exact_winner_rows(p, d, rows_, tiles, tv)
+
+            out, dt = timeit(f_tiles, p, d, t_init, tiles, tv)
+            row["tiles_mrays_s"] = round(n_rays / dt / 1e6, 1)
+            row["tiles_hit_rate"] = round(
+                float(np.mean(np.asarray(out[3]))), 3
+            )
+
+            @jax.jit
+            def f_tiles_any(p, d, t_max, tiles):
+                return tiled_sweep(p, d, t_max, tiles, any_hit=True)
+
+            t_mid2 = jnp.full((n_rays,), 4.0)
+            _, dt = timeit(f_tiles_any, p, d, t_mid2, tiles)
+            row["tiles_anyhit_mrays_s"] = round(n_rays / dt / 1e6, 1)
         if "stream" in walks and ntris <= args.stream_max:
             stream = build_stream(tri_v)
 
