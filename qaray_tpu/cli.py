@@ -8,6 +8,14 @@ flag is accepted for compatibility), plus TPU-native extras:
     -seed N           deterministic RNG seed
     -out PREFIX       output file prefix
     -devices N        shard the render over N devices
+    -multihost        jax.distributed pod-slice mode (launch once per host)
+    -coordinator A,N,P  explicit coordinator addr, process count, process id
+    -probe X,Y        print RGB+z at a pixel after the render
+    -shadow-spp N / -shadow-spp-max N   soft-shadow sample budget
+    -progressive N    save a preview PNG every N spp
+    -res WxH          resolution override
+    -platform cpu     force a backend
+    -profile DIR      jax.profiler trace
 """
 
 from __future__ import annotations
@@ -70,6 +78,18 @@ def parse_args(argv):
             i += 1
             devices = int(argv[i])
             param.num_devices = devices
+        elif a == "-multihost":
+            # Multi-host pod-slice mode: jax.distributed init (env-driven on
+            # TPU pods; -coordinator overrides), then shard over every chip
+            # the slice exposes. The reference analog is mpirun'ing the
+            # binary per node (Renderer_MPI.cpp:35-53); here the same CLI is
+            # launched once per host.
+            overrides["multihost"] = True
+        elif a == "-coordinator":
+            i += 1
+            addr, rest = argv[i].split(",", 1)
+            nproc, pid = rest.split(",")
+            overrides["coordinator"] = (addr, int(nproc), int(pid))
         elif a == "-platform":
             # e.g. `-platform cpu` to force CPU when a TPU plugin is
             # registered (the sitecustomize here pins JAX_PLATFORMS=axon,
@@ -114,6 +134,20 @@ def main(argv=None):
         print("Error: insufficient input", file=sys.stderr)
         return -1
 
+    if overrides.get("multihost"):
+        from qaray_tpu.parallel.distributed import init_distributed, is_primary
+
+        coord = overrides.get("coordinator")
+        if coord is not None:
+            rank, nprocs = init_distributed(*coord)
+        else:
+            rank, nprocs = init_distributed()
+        import jax
+
+        param.num_devices = len(jax.devices())
+        print(f"multihost: process {rank}/{nprocs}, "
+              f"{param.num_devices} devices", flush=True)
+
     try:
         scene = load_scene(scene_file)
     except (OSError, ValueError) as e:
@@ -138,6 +172,15 @@ def main(argv=None):
     with profile(overrides.get("profile")):
         fb = renderer.render()
     timer.stop()
+
+    if overrides.get("multihost"):
+        # Only the primary writes images (reference: rank 0 composites and
+        # saves, Renderer_MPI.cpp:142-207; every process here already holds
+        # the full gathered framebuffer).
+        from qaray_tpu.parallel.distributed import is_primary
+
+        if not is_primary():
+            return 0
 
     # Output names follow Renderer_GUI::CleanRender (Renderer_GUI.cpp:65-73).
     fb.save_image(out_prefix + "colorBuffer.png")
