@@ -337,13 +337,22 @@ def trace_closest(scene: SceneArrays, meta: SceneMeta, p, d, diff=None):
     """
     num_rays = p.shape[0]
 
+    full_attrs = None
     if meta.num_analytic > 0:
         if _use_pallas(meta):
-            from qaray_tpu.ops.pallas_analytic import closest_analytic_pallas
-
-            t_a, prim_idx = closest_analytic_pallas(
-                p, d, scene.analytic, meta.analytic_kinds
+            from qaray_tpu.ops.pallas_analytic import (
+                closest_analytic_full_pallas,
             )
+
+            # Fused closest + winner attributes: one kernel instead of the
+            # intersect/gather/transform/normalize chain (each elementwise
+            # pass costs multiple ms on this runtime).
+            full_attrs = closest_analytic_full_pallas(
+                p, d, scene.analytic, meta.analytic_kinds,
+                want_uv=meta.has_mtl_textures,
+            )
+            t_a = full_attrs["t"]
+            prim_idx = full_attrs["prim_idx"]
         else:
             t_a, prim_idx = I.closest_analytic(p, d, scene.analytic)
     else:
@@ -369,7 +378,13 @@ def trace_closest(scene: SceneArrays, meta: SceneMeta, p, d, diff=None):
     # cotangent times NaN cofactor). Evaluate attributes at a benign t.
     t_attr = jnp.where(hit, t, 1.0)
 
-    attrs_a = I.analytic_hit_attrs(p, d, t_attr, prim_idx, scene.analytic)
+    if full_attrs is not None:
+        attrs_a = {
+            k: full_attrs[k]
+            for k in ("p", "n", "uvw", "front", "mtl", "has_texture")
+        }
+    else:
+        attrs_a = I.analytic_hit_attrs(p, d, t_attr, prim_idx, scene.analytic)
     if meta.num_mesh_instances > 0:
         attrs_m = _mesh_hit_attrs(scene, p, d, t_attr, inst_id, tri_id, bary, front_m)
         sel = lambda a, b: jnp.where(

@@ -89,3 +89,48 @@ def test_pallas_padding(box_scene):
     hits = (t_ref < 1e29) & (t_pl < 1e29)
     rel = np.abs(t_pl[hits] - t_ref[hits]) / np.maximum(t_ref[hits], 1.0)
     assert np.percentile(rel, 99) < 1e-5
+
+
+def test_full_kernel_matches_xla_attrs():
+    """Fused closest+attrs kernel == closest_analytic + analytic_hit_attrs
+    on hit lanes (f32 tolerance), interpret mode."""
+    import numpy as np
+    import jax.numpy as jnp
+    from qaray_tpu.ops.pallas_analytic import closest_analytic_full_pallas
+    from qaray_tpu.ops import intersect as I
+    from qaray_tpu.scene.arrays import AnalyticPrims
+
+    rng = np.random.default_rng(0)
+    P = 6
+    kinds = (0, 1, 0, 1, 0, 1)
+    m = np.tile(np.eye(3, dtype=np.float32), (P, 1, 1)) \
+        + 0.05 * rng.standard_normal((P, 3, 3)).astype(np.float32)
+    t = rng.uniform(-2, 2, (P, 3)).astype(np.float32)
+    prims = AnalyticPrims(
+        kind=jnp.asarray(np.array(kinds), jnp.int32),
+        mtl=jnp.asarray(rng.integers(0, 5, P).astype(np.int32)),
+        m_w2o=jnp.asarray(m), t_o2w=jnp.asarray(t),
+    )
+    B = 1024
+    p = jnp.asarray(
+        np.float32(rng.uniform(-1, 1, (B, 3))) + np.float32([0, 0, 6])
+    )
+    d = rng.standard_normal((B, 3)).astype(np.float32) * 0.3 \
+        + np.float32([0, 0, -1])
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+
+    out = closest_analytic_full_pallas(p, d, prims, kinds, True, True)
+    t_x, idx_x = I.closest_analytic(p, d, prims)
+    hit = np.asarray(t_x) < 1e29
+    t_attr = jnp.where(jnp.asarray(hit), t_x, 1.0)
+    ax = I.analytic_hit_attrs(p, d, t_attr, idx_x, prims)
+    assert (np.asarray(out["prim_idx"]) == np.asarray(idx_x))[hit].all()
+    np.testing.assert_allclose(
+        np.asarray(out["t"])[hit], np.asarray(t_x)[hit], atol=1e-4, rtol=1e-5
+    )
+    for k in ("n", "uvw", "p"):
+        np.testing.assert_allclose(
+            np.asarray(out[k])[hit], np.asarray(ax[k])[hit], atol=1e-4
+        )
+    assert (np.asarray(out["front"]) == np.asarray(ax["front"]))[hit].all()
+    assert (np.asarray(out["mtl"]) == np.asarray(ax["mtl"]))[hit].all()
