@@ -40,16 +40,16 @@ RAY_BLOCK = SUBLANES * LANES  # 1024 rays per grid step
 PALLAS_MESH_MAX_TRIS = 65536
 
 
-def _sweep_kernel(n_tri_blocks,
+def _sweep_kernel(n_tris,
                   coeff_ref, px, py, pz, dx, dy, dz, tcur,
-                  t_out, row_out):
-    """One ray block vs the whole VMEM triangle table.
+                  t_out, row_out, row2_out):
+    """One [8,128] ray block vs the whole VMEM triangle table.
 
-    coeff_ref: [Fp, 10] = [nx ny nz ax ay az bx by bz ...] packed as
-    10 columns: n(3), A(3), B(3), k... — see pack layout in sweep_closest:
-    cols 0-2 n, 3-5 A, 6-8 B, 9 k; a0/b0/|n| ride in a second table? No:
-    packed as 16 columns (pad to lane-friendly width): 0-2 n, 3-5 A,
-    6-8 B, 9 k, 10 a0, 11 b0, 12 |n|, 13-15 pad.
+    coeff_ref: [Fp, 16]: cols 0-2 n, 3-5 A, 6-8 B, 9 k, 10 a0, 11 b0,
+    12 |n|, 13-15 pad. Per triangle: ~13 scalar loads drive ~30 VPU ops on
+    the full [8,128] ray tile — the same scalar-prefetch shape as the
+    analytic kernel (one fori step per triangle, tiny code, no [B,C]
+    intermediates anywhere).
     """
     rpx, rpy, rpz = px[:], py[:], pz[:]
     rdx, rdy, rdz = dx[:], dy[:], dz[:]
@@ -57,76 +57,66 @@ def _sweep_kernel(n_tri_blocks,
 
     t_best = t_in
     row_best = jnp.full(rpx.shape, -1, jnp.int32)
+    t2_best = jnp.full(rpx.shape, BIGFLOAT, jnp.float32)
+    row2_best = jnp.full(rpx.shape, -1, jnp.int32)
 
-    def body(blk, carry):
-        t_best, row_best = carry
-        # [128, 16] triangle block -> per-column [1, 128] broadcasts.
-        tb = coeff_ref[pl.ds(blk * LANES, LANES), :]  # [128, 16]
-        nx = tb[:, 0][None, :]
-        ny = tb[:, 1][None, :]
-        nz = tb[:, 2][None, :]
-        ax = tb[:, 3][None, :]
-        ay = tb[:, 4][None, :]
-        az = tb[:, 5][None, :]
-        bx = tb[:, 6][None, :]
-        by = tb[:, 7][None, :]
-        bz = tb[:, 8][None, :]
-        kk = tb[:, 9][None, :]
-        a0 = tb[:, 10][None, :]
-        b0 = tb[:, 11][None, :]
-        nl = tb[:, 12][None, :]
+    def body(j, carry):
+        t_best, row_best, t2_best, row2_best = carry
+        nx = coeff_ref[j, 0]
+        ny = coeff_ref[j, 1]
+        nz = coeff_ref[j, 2]
+        ax = coeff_ref[j, 3]
+        ay = coeff_ref[j, 4]
+        az = coeff_ref[j, 5]
+        bx = coeff_ref[j, 6]
+        by = coeff_ref[j, 7]
+        bz = coeff_ref[j, 8]
+        kk = coeff_ref[j, 9]
+        a0 = coeff_ref[j, 10]
+        b0 = coeff_ref[j, 11]
+        nl = coeff_ref[j, 12]
 
-        # Outer-product orientation: each of the block's 8 sublane rows
-        # holds 128 rays; lift them to [128, 1] and test against the
-        # [1, 128] triangle lane in one [128, 128] register tile.
-        for r in range(SUBLANES):
-            prx = rpx[r, :][:, None]  # [128, 1] rays of this sublane row
-            pry = rpy[r, :][:, None]
-            prz = rpz[r, :][:, None]
-            drx = rdx[r, :][:, None]
-            dry = rdy[r, :][:, None]
-            drz = rdz[r, :][:, None]
-            pn = prx * nx + pry * ny + prz * nz  # [128r, 128t]
-            dn = drx * nx + dry * ny + drz * nz
-            pa = prx * ax + pry * ay + prz * az
-            da = drx * ax + dry * ay + drz * az
-            pb = prx * bx + pry * by + prz * bz
-            db = drx * bx + dry * by + drz * bz
-            safe = jnp.where(jnp.abs(dn) < 1e-30, 1e-30, dn)
-            t = (kk - pn) / safe
-            parallel = jnp.abs(dn) < 1e-7 * nl
-            a = pa + t * da + a0
-            b = pb + t * db + b0
-            c = 1.0 - a - b
-            ok = (
-                (~parallel) & (t > BIAS) & (a >= 0.0) & (b >= 0.0)
-                & (c >= 0.0)
-            )
-            t = jnp.where(ok, t, BIGFLOAT)
-            tmin = jnp.min(t, axis=1)  # [128 rays]
-            imin = jnp.argmin(t, axis=1).astype(jnp.int32) + blk * LANES
-            # Row-masked merge (in-kernel scatter is not lowerable): only
-            # sublane r of the [8,128] tile takes this row's result.
-            row_mask = (
-                jax.lax.broadcasted_iota(jnp.int32, t_best.shape, 0) == r
-            )
-            take = row_mask & (tmin[None, :] < t_best)
-            t_best = jnp.where(take, tmin[None, :], t_best)
-            row_best = jnp.where(take, imin[None, :], row_best)
-        return t_best, row_best
+        pn = rpx * nx + rpy * ny + rpz * nz  # [8,128]
+        dn = rdx * nx + rdy * ny + rdz * nz
+        pa = rpx * ax + rpy * ay + rpz * az
+        da = rdx * ax + rdy * ay + rdz * az
+        pb = rpx * bx + rpy * by + rpz * bz
+        db = rdx * bx + rdy * by + rdz * bz
+        safe = jnp.where(jnp.abs(dn) < 1e-30, 1e-30, dn)
+        t = (kk - pn) / safe
+        parallel = jnp.abs(dn) < 1e-7 * nl
+        a = pa + t * da + a0
+        b = pb + t * db + b0
+        c = 1.0 - a - b
+        ok = (
+            (~parallel) & (t > BIAS) & (a >= 0.0) & (b >= 0.0) & (c >= 0.0)
+        )
+        take = ok & (t < t_best)
+        # Runner-up: the displaced winner, or this t when it lands between
+        # best and second-best (same top-2 semantics as stream_closest).
+        take2 = ok & ~take & (t < t2_best)
+        t2_best = jnp.where(take, t_best, jnp.where(take2, t, t2_best))
+        row2_best = jnp.where(
+            take, row_best, jnp.where(take2, j, row2_best)
+        )
+        t_best = jnp.where(take, t, t_best)
+        row_best = jnp.where(take, j, row_best)
+        return t_best, row_best, t2_best, row2_best
 
-    t_best, row_best = jax.lax.fori_loop(
-        0, n_tri_blocks, body, (t_best, row_best)
+    t_best, row_best, t2_best, row2_best = jax.lax.fori_loop(
+        0, n_tris, body, (t_best, row_best, t2_best, row2_best)
     )
     t_out[:] = t_best
     row_out[:] = jnp.where(t_best < t_in, row_best, -1)
+    row2_out[:] = jnp.where(t2_best < BIGFLOAT, row2_best, -1)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
 def pallas_sweep_closest(p, d, t_cur, coeff16, interpret: bool = False):
     """Dense closest sweep; coeff16 [Fp, 16] from pack_coeff16.
 
-    Returns (t [B], row [B] or -1). Fp must be a multiple of 128.
+    Returns (t [B], row [B] or -1, row2 [B] runner-up or -1). Fp must be
+    a multiple of 128.
     """
     num = p.shape[0]
     fp = coeff16.shape[0]
@@ -150,18 +140,23 @@ def pallas_sweep_closest(p, d, t_cur, coeff16, interpret: bool = False):
     )
     small = pl.BlockSpec(memory_space=pltpu.VMEM)
     rows = total // LANES
-    t_out, row_out = pl.pallas_call(
-        partial(_sweep_kernel, fp // LANES),
+    t_out, row_out, row2_out = pl.pallas_call(
+        partial(_sweep_kernel, fp),
         grid=(grid,),
         in_specs=[small] + [block_spec] * 7,
-        out_specs=(block_spec, block_spec),
+        out_specs=(block_spec, block_spec, block_spec),
         out_shape=(
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
         ),
         interpret=interpret,
     )(coeff16, *comps)
-    return t_out.reshape(-1)[:num], row_out.reshape(-1)[:num]
+    return (
+        t_out.reshape(-1)[:num],
+        row_out.reshape(-1)[:num],
+        row2_out.reshape(-1)[:num],
+    )
 
 
 def pack_coeff16(stream_coeff, stream_const) -> np.ndarray:

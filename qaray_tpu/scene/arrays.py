@@ -76,6 +76,9 @@ class MeshArrays(NamedTuple):
     # triangle budget.
     stream_coeff: jnp.ndarray = None  # [Fp, 3, 3] rows n, A, B
     stream_const: jnp.ndarray = None  # [Fp, 4] k, A0, B0, |n|
+    # Packed [Fp16, 16] coefficient table for the Pallas dense sweep kernel
+    # (ops/pallas_mesh.py) — the TPU mesh path under its VMEM budget.
+    stream_c16: jnp.ndarray = None
     # Tiled packet-culled sweep (ops/mesh_tiles.py): Morton-clustered
     # coefficients + cluster AABBs — the large-mesh TPU path (built instead
     # of the flat stream above the triangle budget).

@@ -328,6 +328,15 @@ class SceneCompiler:
             stream = build_stream(wv)
             tile_kw["stream_coeff"] = stream.coeff
             tile_kw["stream_const"] = stream.const
+            from qaray_tpu.ops.pallas_mesh import (
+                PALLAS_MESH_MAX_TRIS,
+                pack_coeff16,
+            )
+
+            if wv.shape[0] <= PALLAS_MESH_MAX_TRIS:
+                tile_kw["stream_c16"] = jnp.asarray(
+                    pack_coeff16(stream.coeff, stream.const)
+                )
         else:
             from qaray_tpu.ops.mesh_tiles import build_tiles
 
