@@ -680,13 +680,16 @@ class SceneCompiler:
 
 
 def _stream_max_tris() -> int:
-    """Triangle budget for the dense streaming mesh path (O(rays x tris)
-    per dispatch). Above it, the per-lane-gather BVH walk takes over. The
-    Pallas cluster-culled kernel raises the practical ceiling; env
+    """Triangle budget for the dense sweep mesh path (O(rays x tris) per
+    dispatch; on TPU it runs as the Pallas VMEM kernel, whose coefficient
+    table budget sets the default). Above it the compiler builds the tiled
+    packet-culled sweep instead (ops/mesh_tiles.py). env
     QARAY_STREAM_MAX_TRIS overrides."""
     import os
 
-    return int(os.environ.get("QARAY_STREAM_MAX_TRIS", 262144))
+    from qaray_tpu.ops.pallas_mesh import PALLAS_MESH_MAX_TRIS
+
+    return int(os.environ.get("QARAY_STREAM_MAX_TRIS", PALLAS_MESH_MAX_TRIS))
 
 
 def _live_texture(tc: D.TexturedColor) -> bool:
