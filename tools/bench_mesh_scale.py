@@ -300,6 +300,25 @@ def main():
                 stack_size=args.stack, any_hit=True,
             )
             row["anyhit_mrays_s"] = round(n_rays / dt / 1e6, 1)
+        if "pallas" in walks:
+            from qaray_tpu.ops.pallas_mesh import (
+                PALLAS_MESH_MAX_TRIS,
+                pack_coeff16,
+                pallas_sweep_closest,
+            )
+            from qaray_tpu.ops.mesh_stream import build_stream as _bs
+
+            if ntris <= PALLAS_MESH_MAX_TRIS * 2:  # allow headroom probing
+                stream_ = _bs(tri_v, chunk=128)
+                c16 = jnp.asarray(pack_coeff16(stream_.coeff, stream_.const))
+
+                def f_pallas(p, d, t_init, c16):
+                    t, row, _ = pallas_sweep_closest(p, d, t_init, c16)
+                    return t, row
+
+                out, dt = timeit(f_pallas, p, d, t_init, c16)
+                row["pallas_mrays_s"] = round(n_rays / dt / 1e6, 3)
+                row["pallas_gtests_s"] = round(n_rays * ntris / dt / 1e9, 1)
         if "tiles" in walks:
             from qaray_tpu.ops.mesh_tiles import (
                 build_tiles,
@@ -317,7 +336,7 @@ def main():
                 return exact_winner_rows(p, d, rows_, tiles, tv)
 
             out, dt = timeit(f_tiles, p, d, t_init, tiles, tv)
-            row["tiles_mrays_s"] = round(n_rays / dt / 1e6, 1)
+            row["tiles_mrays_s"] = round(n_rays / dt / 1e6, 3)
             row["tiles_hit_rate"] = round(
                 float(np.mean(np.asarray(out[3]))), 3
             )
@@ -328,7 +347,7 @@ def main():
 
             t_mid2 = jnp.full((n_rays,), 4.0)
             _, dt = timeit(f_tiles_any, p, d, t_mid2, tiles)
-            row["tiles_anyhit_mrays_s"] = round(n_rays / dt / 1e6, 1)
+            row["tiles_anyhit_mrays_s"] = round(n_rays / dt / 1e6, 3)
         if "stream" in walks and ntris <= args.stream_max:
             stream = build_stream(tri_v)
 
