@@ -23,6 +23,11 @@ import numpy as np
 BASELINE_RAYS_PER_S = 1.136e6  # measured: 2 threads, this host, box scene
 BASELINE_8THREAD_EXTRAPOLATED = 4.54e6  # 8 x measured per-thread rate
 
+# Every timing below ends by pulling a scalar reduction of device output to
+# host: on this tunneled runtime block_until_ready can return at enqueue
+# time, so only a host-visible data dependency proves the work ran.
+TIMING_METHOD = "forced_completion_scalar_reduction"
+
 
 def main():
     import jax
@@ -77,6 +82,11 @@ def main():
     # Secondary metrics -> bench_details.json (stdout stays one JSON line).
     details = {
         "primary_rays_per_s_pathtrace_box": rays_per_s,
+        # Methodology flag: every number in this file ends with a scalar
+        # reduction pulled to host (float(x.min())). The r01/r02 artifacts
+        # (2.0e9 "rays/s") carried no such flag and timed ENQUEUE on this
+        # tunneled runtime; any bench JSON without this field is suspect.
+        "timing": TIMING_METHOD,
         "batch_lanes": batch,
         "spp_equivalent_per_s_800x600": rays_per_s / batch,
         "device": str(jax.devices()[0]),
@@ -84,10 +94,12 @@ def main():
         "vs_baseline_8thread_extrapolated": rays_per_s
         / BASELINE_8THREAD_EXTRAPOLATED,
     }
-    # Efficiency denominators: XLA's own cost model for one dispatch
-    # (lowered+compiled executable cost_analysis) against v5e peaks. A ray
-    # tracer is select/compare-heavy, so MFU is structurally low — the
-    # interesting numbers are achieved flops and HBM draw per dispatch.
+    # Cost-model context. IMPORTANT caveat (round-3 lesson): XLA's
+    # cost_analysis reports LOGICAL pre-fusion flops/bytes — its "bytes
+    # accessed" exceeded the chip's physical HBM bandwidth by 2.1x in r03,
+    # so neither is a physical utilization denominator. They are recorded
+    # only as work-complexity context, with names that say so; physical
+    # per-kernel timings live in PROFILE.md (tools/profile_bench.py).
     try:
         sample_ids = jnp.full((batch,), 0, jnp.int32)
         compiled = (
@@ -99,13 +111,13 @@ def main():
         flops = float(ca.get("flops", 0.0))
         bytes_out = float(ca.get("bytes accessed", 0.0))
         dispatch_s = batch / rays_per_s
-        details["xla_flops_per_dispatch"] = flops
-        details["xla_bytes_accessed_per_dispatch"] = bytes_out
-        details["achieved_tflops"] = flops / dispatch_s / 1e12
-        details["achieved_hbm_gbps"] = bytes_out / dispatch_s / 1e9
-        # v5e: 197 TFLOP/s bf16 MXU peak, ~819 GB/s HBM.
-        details["mfu_vs_v5e_bf16_peak"] = flops / dispatch_s / 197e12
-        details["hbm_util_vs_819gbps"] = bytes_out / dispatch_s / 819e9
+        details["xla_costmodel_logical_flops_per_dispatch"] = flops
+        details["xla_costmodel_logical_bytes_per_dispatch"] = bytes_out
+        details["logical_tflops_over_wall"] = flops / dispatch_s / 1e12
+        details["costmodel_caveat"] = (
+            "logical pre-fusion counts; NOT physical HBM/MXU utilization "
+            "(r03 measured logical bytes at 2.1x physical HBM peak)"
+        )
     except Exception as e:  # cost model availability varies by backend
         details["cost_analysis_error"] = str(e)[:200]
     try:
@@ -113,9 +125,25 @@ def main():
     except Exception as e:  # mesh bench is best-effort
         details["mesh_scene_error"] = str(e)[:200]
     try:
-        details["backward_paths_per_s"] = _grad_bench()
+        # Matched config (bounce 5 / shadow 16 — same as the forward bench)
+        # so fwd/bwd ratios are apples-to-apples; the lighter config is kept
+        # for cross-round comparison with r03.
+        details["backward_paths_per_s_matched_cfg"] = _grad_bench(
+            max_bounce=5, shadow_spp=16
+        )
+        details["backward_paths_per_s_light_cfg"] = _grad_bench(
+            max_bounce=3, shadow_spp=4
+        )
     except Exception as e:
         details["grad_bench_error"] = str(e)[:200]
+    try:
+        details["mesh_backward_paths_per_s"] = _mesh_grad_bench()
+    except Exception as e:
+        details["mesh_grad_bench_error"] = str(e)[:200]
+    try:
+        details.update(_xmas_bench())
+    except Exception as e:
+        details["xmas_bench_error"] = str(e)[:200]
     with open("bench_details.json", "w") as f:
         json.dump(details, f, indent=2)
 
@@ -126,12 +154,13 @@ def main():
                 "value": rays_per_s,
                 "unit": "rays/s",
                 "vs_baseline": rays_per_s / BASELINE_RAYS_PER_S,
+                "timing": TIMING_METHOD,
             }
         )
     )
 
 
-def _grad_bench():
+def _grad_bench(max_bounce=5, shadow_spp=16):
     """Forward+backward (value_and_grad) path throughput on the box scene.
 
     Runs the production kernels: the Pallas closest-hit carries a
@@ -151,7 +180,9 @@ def _grad_bench():
 
     scene = load_scene("/root/reference/inputs/example_project3_box.xml")
     arrays, meta = compile_scene(scene)
-    cfg = IntegratorConfig(integrator="pathtrace", max_bounce=3, shadow_spp=4)
+    cfg = IntegratorConfig(
+        integrator="pathtrace", max_bounce=max_bounce, shadow_spp=shadow_spp
+    )
     batch = 1 << 18
     ids = np.arange(batch, dtype=np.int32)
     px = jnp.asarray(ids % meta.img_width)
@@ -211,6 +242,81 @@ def _mesh_bench():
         float(outs[-1].min())
         best = min(best, time.perf_counter() - t0)
     return rounds * batch / best
+
+
+def _mesh_grad_bench():
+    """Forward+backward path throughput on the mesh scene: gradients must
+    flow while pallas_sweep_closest (or the tiled sweep) is in the forward
+    trace — the round-3 gap flagged in VERDICT weak #5."""
+    import jax
+    import jax.numpy as jnp
+
+    from qaray_tpu.diff import render_value_and_grad
+    from qaray_tpu.integrators.engine import IntegratorConfig
+    from qaray_tpu.scene.compiler import compile_scene
+    from qaray_tpu.scene.xml_parser import load_scene
+
+    scene = load_scene("tests/assets/mesh_scene.xml")
+    arrays, meta = compile_scene(scene)
+    cfg = IntegratorConfig(integrator="pathtrace", max_bounce=5, shadow_spp=16)
+    batch = 1 << 17
+    ids = np.arange(batch, dtype=np.int32)
+    px = jnp.asarray(ids % meta.img_width)
+    py = jnp.asarray((ids // meta.img_width) % meta.img_height)
+    key = jax.random.key(0, impl="rbg")
+
+    def step(s):
+        sids = jnp.full((batch,), s, jnp.int32)
+        return render_value_and_grad(arrays, meta, cfg, px, py, sids, key)
+
+    float(step(0)[0].min())
+    rounds = 5
+    best = float("inf")
+    s0 = 1
+    for _ in range(2):
+        t0 = time.perf_counter()
+        outs = [step(s0 + s) for s in range(rounds)]
+        float(outs[-1][0].min())
+        best = min(best, time.perf_counter() - t0)
+        s0 += rounds
+    return rounds * batch / best
+
+
+def _xmas_bench():
+    """BASELINE primary metric: the FULL Renderer (adaptive loop, photon
+    maps if flagged) on trc_scene_xmas.xml — end-to-end wall clock, not raw
+    render_batch. Reports samples/s at the run spp plus the wall-clock a
+    1024spp render extrapolates to (BASELINE.json configs[4] wants 1024spp;
+    running that here would monopolize the round's bench slot, so the rate
+    is measured at QARAY_BENCH_XMAS_SPP (default 32) — the adaptive loop is
+    linear in spp, making the extrapolation a rate multiply). Saves the PNG
+    next to the details file."""
+    import os
+
+    from qaray_tpu.renderer import Renderer, RendererParam
+    from qaray_tpu.scene.xml_parser import load_scene
+
+    spp = int(os.environ.get("QARAY_BENCH_XMAS_SPP", "32"))
+    scene = load_scene("/root/reference/inputs/trc_scene_xmas.xml")
+    param = RendererParam(
+        spp_min=spp, spp_max=spp, integrator="photonmap", max_bounce=5
+    )
+    r = Renderer(param)
+    r.compute_scene(scene)
+    t0 = time.perf_counter()
+    fb = r.render()
+    wall = time.perf_counter() - t0
+    fb.save_image("bench_xmas.png")
+    pixels = fb.width * fb.height
+    samples = float(np.asarray(fb.count, np.float64).sum())
+    sps = samples / wall
+    return {
+        "xmas_resolution": [fb.width, fb.height],
+        "xmas_spp": spp,
+        "xmas_wall_s": wall,
+        "xmas_samples_per_s": sps,
+        "xmas_projected_1024spp_wall_s": pixels * 1024 / sps,
+    }
 
 
 if __name__ == "__main__":

@@ -21,6 +21,16 @@ from qaray_tpu.scene.xml_parser import load_scene
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 
+# Representative scenes promoted to the `golden_core` middle tier
+# (everything else in CASES runs in the `slow` full sweep): one basic
+# analytic scene, the bench-primary box, and one glass/RR scene. The mesh,
+# feature (spot), variant, and photon goldens below are core-marked too.
+GOLDEN_CORE_SCENES = {
+    "example_project2_blinn.xml",
+    "example_project3_box.xml",
+    "trc_mtl_glass.xml",
+}
+
 CASES = [
     # (scene, spp, block-mean tolerance)
     # trc_scene_*: spot lights + partial assets (OBJs missing upstream —
@@ -84,6 +94,7 @@ def _render_ours(inputs_dir, scene_name, spp):
     return fb.img.reshape(150, 200, 3).astype(np.float32) / 255.0
 
 
+@pytest.mark.golden_core
 def test_mesh_scene_golden():
     """Mesh path (OBJ load + BVH + smooth normals) vs the reference.
 
@@ -105,7 +116,7 @@ def test_mesh_scene_golden():
     "name,spp,tol",
     [
         # Spot-light cone attenuation + default (1,0,0) direction semantics.
-        ("spot_scene", 16, 0.01),
+        pytest.param("spot_scene", 16, 0.01, marks=pytest.mark.golden_core),
         # Area-light adaptive soft shadows (exact 16->64 escalating
         # recurrence with in-loop falloff) + depth-of-field lens sampling.
         ("softdof_scene", 32, 0.02),
@@ -122,7 +133,7 @@ def test_feature_scene_golden(name, spp, tol):
     assert diff.mean() < tol, f"{name} diff {diff.mean():.4f}"
 
 
-@pytest.mark.slow
+@pytest.mark.golden_core
 def test_photon_map_golden(inputs_dir):
     """Full photon-mapping pipeline vs the reference with -use-photon-map:
     emission + RR scatter + caustics gating + quadratic-filter gathering.
@@ -171,7 +182,10 @@ VARIANT_CASES = [
     # reference algorithms, not just smoke-tested. Tolerances reflect the
     # documented estimator deviation (branching recursion re-expressed as
     # luma RR — equal in expectation) plus MC noise at 64spp.
-    ("example_project2_blinn.xml", 64, "basic", 0.02),
+    pytest.param(
+        "example_project2_blinn.xml", 64, "basic", 0.02,
+        marks=pytest.mark.golden_core,
+    ),
     ("example_project3_box.xml", 64, "basic", 0.025),
     ("example_project3_box.xml", 64, "mcgi", 0.03),
 ]
@@ -285,7 +299,21 @@ def test_high_spp_parity(inputs_dir, scene_name, spp, pixel_exact):
     )
 
 
-@pytest.mark.parametrize("scene_name,spp,tol", CASES)
+@pytest.mark.parametrize(
+    "scene_name,spp,tol",
+    [
+        pytest.param(
+            n, s, t,
+            marks=(
+                pytest.mark.golden_core
+                if n in GOLDEN_CORE_SCENES
+                else pytest.mark.slow
+            ),
+            id=f"{n}-{s}spp",
+        )
+        for n, s, t in CASES
+    ],
+)
 def test_golden_parity(inputs_dir, scene_name, spp, tol):
     golden_path = os.path.join(
         GOLDEN_DIR, scene_name.replace(".xml", f"_{spp}spp.png")
