@@ -695,16 +695,12 @@ def integrate(scene: SceneArrays, meta: SceneMeta, cfg: IntegratorConfig,
 
 
 @partial(jax.jit, static_argnames=("meta", "cfg", "want_aux"))
-def render_batch(scene: SceneArrays, meta: SceneMeta, cfg: IntegratorConfig,
-                 px, py, sample_ids, base_key, photon_maps=None,
-                 want_aux: bool = False):
-    """Render one sample for each (px, py) pixel lane.
-
-    Returns (radiance [B,3], depth [B]); with want_aux=True additionally the
-    per-lane irradiance-computation flag (the fb debug plane). Deterministic
-    in (base_key, pixel coords, sample_ids) — independent of batch split or
-    device sharding.
-    """
+def render_batch_xla(scene: SceneArrays, meta: SceneMeta,
+                     cfg: IntegratorConfig, px, py, sample_ids, base_key,
+                     photon_maps=None, want_aux: bool = False):
+    """The XLA wavefront path of render_batch (always available; also the
+    reference implementation the megakernel is parity-tested against and
+    the backward pass of mega_render)."""
     ray_ids = py * meta.img_width + px
     keys = RNG.ray_keys(base_key, ray_ids * 65536 + sample_ids)
     campos, d, tx, ty, diff = generate_camera_rays(
@@ -719,3 +715,65 @@ def render_batch(scene: SceneArrays, meta: SceneMeta, cfg: IntegratorConfig,
     if want_aux:
         return radiance, t0, irrad0
     return radiance, t0
+
+
+def use_pathtrace_mega(meta: SceneMeta, cfg: IntegratorConfig) -> bool:
+    """Engagement gate for the fused Pallas pathtrace megakernel
+    (ops/pallas_pathtrace.py): pathtrace on analytic-only untextured scenes.
+
+    Default on TPU; QARAY_MEGAKERNEL=1 forces it elsewhere (interpret mode,
+    used by the CPU parity tests); QARAY_NO_MEGAKERNEL disables."""
+    import os
+
+    if os.environ.get("QARAY_NO_MEGAKERNEL"):
+        return False
+    ok = (
+        cfg.integrator == "pathtrace"
+        and meta.num_mesh_instances == 0
+        and meta.num_analytic > 0
+        and len(meta.analytic_kinds) == meta.num_analytic
+        and len(meta.analytic_mtls) == meta.num_analytic
+        and not meta.has_mtl_textures
+        and not meta.has_bg_texture
+        and not meta.has_env_texture
+        and not cfg.use_photon_map
+    )
+    if not ok:
+        return False
+    if os.environ.get("QARAY_MEGAKERNEL") == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+@partial(jax.jit, static_argnames=("meta", "cfg", "want_aux"))
+def render_batch(scene: SceneArrays, meta: SceneMeta, cfg: IntegratorConfig,
+                 px, py, sample_ids, base_key, photon_maps=None,
+                 want_aux: bool = False):
+    """Render one sample for each (px, py) pixel lane.
+
+    Returns (radiance [B,3], depth [B]); with want_aux=True additionally the
+    per-lane irradiance-computation flag (the fb debug plane). Deterministic
+    in (base_key, pixel coords, sample_ids) — independent of batch split or
+    device sharding.
+
+    Pathtrace on analytic untextured scenes routes to the single-dispatch
+    Pallas megakernel (bit-parity with the XLA path under threefry keys —
+    tests/test_megakernel.py); everything else runs the wavefront engine.
+    """
+    if use_pathtrace_mega(meta, cfg):
+        from qaray_tpu.ops.pallas_pathtrace import mega_render
+
+        kd = jax.random.key_data(base_key)
+        impl = "rbg" if kd.shape[-1] == 4 else "threefry2x32"
+        interpret = jax.default_backend() != "tpu"
+        radiance, t0 = mega_render(
+            scene, meta, cfg, impl, interpret, px, py, sample_ids, kd
+        )
+        if want_aux:
+            # pathtrace never writes the irradiance debug plane.
+            return radiance, t0, jnp.zeros(px.shape, bool)
+        return radiance, t0
+    return render_batch_xla(
+        scene, meta, cfg, px, py, sample_ids, base_key, photon_maps,
+        want_aux,
+    )

@@ -1,0 +1,814 @@
+"""Pallas TPU megakernel: the ENTIRE pathtrace dispatch in one kernel.
+
+Round-3 profiling showed the box-scene bench spends its time in dozens of
+separate XLA elementwise passes per bounce (~17 GB/s effective on this
+runtime) — only intersection was fused. This kernel keeps every per-bounce
+stage resident in VMEM/registers for an [R, 128] ray block:
+
+    camera ray-gen (Halton jitter + optional DoF lens)
+  → per bounce: fused analytic closest-hit (+ material fold-in)
+              → Fresnel → lobe select/sample → NEE shadow rays
+              → emission/direct accumulate → beta update
+  → radiance + primary depth written once.
+
+HBM traffic is O(B) total (px/py/sid in, rgb+t0 out) instead of O(B) per
+elementwise pass; random draws are generated in-kernel with the threefry
+primitives from core/krng.py, bit-exact against the XLA wavefront engine's
+jax.random chain (core/rng.py) when the caller's key is threefry2x32 —
+so the kernel computes the SAME function as the XLA path, validated in
+tests/test_megakernel.py. With an 'rbg' key the lane keys are derived by
+xor-folding the 4 rbg words (deterministic, statistically equivalent, not
+bit-equal to the XLA rbg path).
+
+Semantics ported (file:line = reference):
+  - camera basis / jitter / DoF   renderer.cpp:302-327, scene/scene.cpp:99-111
+  - sphere/plane intersection     objects/objects.cpp:55-208 (bias 0.005)
+  - MtlBlinn_PathTracing::Shade   materials/MtlBlinn_PathTracing.cpp:69-300
+    (colorMax 4-way RR with pdf division, double-1/L direct quirk,
+    cosine-lobe glossy sampling, no absorption)
+  - GenLight family               lights/lights.cpp:39-144 (hard + adaptive
+    16->64 soft shadows with the in-loop-falloff recurrence, spot cone)
+
+Scope (engagement gated in integrators/engine.py): pathtrace integrator,
+analytic-only scenes, no live textures, no photon maps. Everything else
+stays on the wavefront engine. Backward: the custom_vjp re-runs the XLA
+engine's VJP (same draws under threefry => gradient of the same function).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from qaray_tpu.core.constants import (
+    BIAS,
+    BIGFLOAT,
+    PLANE_EPS,
+    TOTAL_REFLECTION_THRESHOLD,
+)
+from qaray_tpu.core.krng import U32, draw_at, fold2
+from qaray_tpu.core import rng as RNG
+from qaray_tpu.scene.arrays import (
+    KIND_SPHERE,
+    LIGHT_AMBIENT,
+    LIGHT_DIRECT,
+    LIGHT_SPOT,
+)
+
+LANES = 128
+BLOCK_ROWS = 32  # 4096 rays per grid step (amortizes scalar table reads)
+
+
+# ---------------------------------------------------------------------------
+# 3-vector helpers on component triples of [R, 128] tiles
+# ---------------------------------------------------------------------------
+
+
+def _dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _cross3(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def _norm3(a, eps=0.0):
+    n2 = _dot3(a, a)
+    if eps:
+        n2 = jnp.maximum(n2, eps)
+    inv = jnp.reciprocal(jnp.sqrt(n2))
+    return (a[0] * inv, a[1] * inv, a[2] * inv)
+
+
+def _scale3(a, s):
+    return (a[0] * s, a[1] * s, a[2] * s)
+
+
+def _add3(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def _sub3(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def _mul3(a, b):
+    return (a[0] * b[0], a[1] * b[1], a[2] * b[2])
+
+
+def _neg3(a):
+    return (-a[0], -a[1], -a[2])
+
+
+def _where3(m, a, b):
+    return (
+        jnp.where(m, a[0], b[0]),
+        jnp.where(m, a[1], b[1]),
+        jnp.where(m, a[2], b[2]),
+    )
+
+
+def _max3(a):
+    return jnp.maximum(a[0], jnp.maximum(a[1], a[2]))
+
+
+def _pow_safe(base, e):
+    return jnp.power(jnp.maximum(base, 1e-6), e)
+
+
+def _to_local_frame(n, s):
+    """Port of core.vecmath.to_local_frame (math/math.cpp:37-46)."""
+    zx, zy, zz = n
+    use_a = jnp.abs(zx) > jnp.abs(zy)
+    zero = jnp.zeros_like(zx)
+    ya = (zz, zero, -zx)
+    yb = (zero, -zz, zy)
+    y = _norm3(_where3(use_a, ya, yb))
+    x = _norm3(_cross3(y, n))
+    u = _norm3(s)
+    return (
+        u[0] * x[0] + u[1] * y[0] + u[2] * n[0],
+        u[0] * x[1] + u[1] * y[1] + u[2] * n[1],
+        u[0] * x[2] + u[1] * y[2] + u[2] * n[2],
+    )
+
+
+def _halton(i, base: int, iters: int = 10):
+    """Radical inverse, same digit count as core.halton.halton."""
+    r = jnp.zeros(i.shape, jnp.float32)
+    f = jnp.full(i.shape, 1.0 / base, jnp.float32)
+    for _ in range(iters):
+        r = r + f * (i % jnp.int32(base)).astype(jnp.float32)
+        f = f / base
+        i = i // jnp.int32(base)
+    return r
+
+
+# ---------------------------------------------------------------------------
+# Scene-table scalar accessors (VMEM refs -> python dicts of scalars)
+# ---------------------------------------------------------------------------
+
+# mtl table columns
+_MT_DIFF, _MT_SPEC, _MT_EMIT, _MT_REFL, _MT_REFR = 0, 3, 6, 9, 12
+_MT_GLOSS, _MT_RGLOSS, _MT_TGLOSS, _MT_IOR = 15, 16, 17, 18
+MTL_COLS = 19
+
+# light table columns
+_LT_INT, _LT_POS, _LT_DIR, _LT_SIZE, _LT_INNER, _LT_OUTER = 0, 3, 6, 9, 10, 11
+LIGHT_COLS = 12
+
+# camera/env params vector layout
+_CAM_POS, _CAM_A, _CAM_U, _CAM_V, _CAM_X, _CAM_Y = 0, 3, 6, 9, 12, 15
+_CAM_DOF, _CAM_BG, _CAM_ENV = 18, 19, 22
+CAM_COLS = 25
+
+
+def _v3(ref, row, col):
+    return (ref[row, col], ref[row, col + 1], ref[row, col + 2])
+
+
+# ---------------------------------------------------------------------------
+# Geometry: analytic closest-hit / any-hit, unrolled over static prim kinds
+# ---------------------------------------------------------------------------
+
+
+def _prim_t(kind, po, do):
+    """Hit distance vs unit sphere / unit-square plane in object space.
+
+    Same math as ops/pallas_analytic._kernel (objects/objects.cpp:55-208).
+    """
+    if kind == KIND_SPHERE:
+        a = _dot3(do, do)
+        b = 2.0 * _dot3(po, do)
+        c = _dot3(po, po) - 1.0
+        delta = b * b - 4.0 * a * c
+        sq = jnp.sqrt(jnp.maximum(delta, 0.0))
+        rcp2a = 0.5 / a
+        t1 = (-b - sq) * rcp2a
+        t2 = (-b + sq) * rcp2a
+        t_hit = jnp.where(t1 > BIAS, t1, jnp.where(t2 > BIAS, t2, BIGFLOAT))
+        return jnp.where(delta >= 0.0, t_hit, BIGFLOAT)
+    safe = jnp.where(jnp.abs(do[2]) < PLANE_EPS, jnp.inf, do[2])
+    t_hit = -po[2] / safe
+    hx = po[0] + t_hit * do[0]
+    hy = po[1] + t_hit * do[1]
+    ok = (jnp.abs(hx) <= 1.0) & (jnp.abs(hy) <= 1.0) & (t_hit > BIAS)
+    return jnp.where(ok, t_hit, BIGFLOAT)
+
+
+def _obj_ray(prim_ref, prim, p, d):
+    """Transform a world ray into primitive `prim`'s object space."""
+    m = [prim_ref[prim, k] for k in range(9)]
+    t = (prim_ref[prim, 9], prim_ref[prim, 10], prim_ref[prim, 11])
+    rel = _sub3(p, t)
+    po = (
+        m[0] * rel[0] + m[1] * rel[1] + m[2] * rel[2],
+        m[3] * rel[0] + m[4] * rel[1] + m[5] * rel[2],
+        m[6] * rel[0] + m[7] * rel[1] + m[8] * rel[2],
+    )
+    do = (
+        m[0] * d[0] + m[1] * d[1] + m[2] * d[2],
+        m[3] * d[0] + m[4] * d[1] + m[5] * d[2],
+        m[6] * d[0] + m[7] * d[1] + m[8] * d[2],
+    )
+    return m, po, do
+
+
+def _shadow_occluded(kinds, prim_ref, p, d, t_max):
+    """Any-hit over all prims: BIAS < t < t_max (GenLight::Shadow)."""
+    occ = jnp.zeros(p[0].shape, jnp.bool_)
+    for prim in range(len(kinds)):
+        _, po, do = _obj_ray(prim_ref, prim, p, d)
+        occ = occ | (_prim_t(kinds[prim], po, do) < t_max)
+    return occ
+
+
+def _closest_hit(kinds, mtls, prim_ref, mtl_ref, p, d):
+    """Fused closest hit + winner attributes + material fold-in.
+
+    Returns dict of [R,128] tiles: t, hit, n (world, unit), front, hp (world
+    hit point at benign t), and the winner's material samples. Miss lanes get
+    the same benign defaults as ops/pallas_analytic._kernel_full (n=(0,0,1),
+    front=True, material of prim 0).
+    """
+    shape = p[0].shape
+    t_best = jnp.full(shape, BIGFLOAT, jnp.float32)
+    n_b = (jnp.zeros(shape), jnp.zeros(shape), jnp.ones(shape))
+    # front carried as f32 0/1: Mosaic cannot select between i1 vectors.
+    front_b = jnp.ones(shape, jnp.float32)
+
+    def mtl_row(row):
+        return {
+            "diffuse": _v3(mtl_ref, row, _MT_DIFF),
+            "specular": _v3(mtl_ref, row, _MT_SPEC),
+            "emission": _v3(mtl_ref, row, _MT_EMIT),
+            "reflection": _v3(mtl_ref, row, _MT_REFL),
+            "refraction": _v3(mtl_ref, row, _MT_REFR),
+            "glossiness": mtl_ref[row, _MT_GLOSS],
+            "rgloss": mtl_ref[row, _MT_RGLOSS],
+            "tgloss": mtl_ref[row, _MT_TGLOSS],
+            "ior": mtl_ref[row, _MT_IOR],
+        }
+
+    def bcast(mrow):
+        out = {}
+        for k, v in mrow.items():
+            if isinstance(v, tuple):
+                out[k] = tuple(jnp.full(shape, c) for c in v)
+            else:
+                out[k] = jnp.full(shape, v)
+        return out
+
+    mtl_b = bcast(mtl_row(mtls[0]))
+
+    for prim in range(len(kinds)):
+        m, po, do = _obj_ray(prim_ref, prim, p, d)
+        t_hit = _prim_t(kinds[prim], po, do)
+        take = t_hit < t_best
+        t_eval = jnp.where(t_hit < BIGFLOAT, t_hit, 1.0)
+        hp = _add3(po, _scale3(do, t_eval))
+        if kinds[prim] == KIND_SPHERE:
+            n_obj = _norm3(hp, eps=1e-30)
+        else:
+            zero = jnp.zeros(shape)
+            n_obj = (zero, zero, jnp.ones(shape))
+        front_p = jnp.where(_dot3(n_obj, do) <= 0.0, 1.0, 0.0)
+        # World normal: normalize(M_w2o^T n_obj) (core/transform.cpp:49-56).
+        nw = (
+            m[0] * n_obj[0] + m[3] * n_obj[1] + m[6] * n_obj[2],
+            m[1] * n_obj[0] + m[4] * n_obj[1] + m[7] * n_obj[2],
+            m[2] * n_obj[0] + m[5] * n_obj[1] + m[8] * n_obj[2],
+        )
+        nw = _norm3(nw, eps=1e-30)
+
+        t_best = jnp.where(take, t_hit, t_best)
+        n_b = _where3(take, nw, n_b)
+        front_b = jnp.where(take, front_p, front_b)
+        mrow = mtl_row(mtls[prim])
+        for k, v in mrow.items():
+            if isinstance(v, tuple):
+                mtl_b[k] = _where3(take, tuple(jnp.full(shape, c) for c in v),
+                                   mtl_b[k])
+            else:
+                mtl_b[k] = jnp.where(take, v, mtl_b[k])
+
+    hit = t_best < BIGFLOAT
+    t_eval = jnp.where(hit, t_best, 1.0)
+    hp_world = _add3(p, _scale3(d, t_eval))
+    return {
+        "t": t_best,
+        "hit": hit,
+        "n": n_b,
+        "front": front_b > 0.5,
+        "hp": hp_world,
+        "mtl": mtl_b,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Lighting (integrators/common.illuminate + blinn_direct, norm_power=2)
+# ---------------------------------------------------------------------------
+
+
+def _illuminate(kinds, prim_ref, light_ref, li, lkind, soft, cfg, p, kb):
+    """Per-lane RGB intensity of light `li` including shadowing.
+
+    kb: bounce-folded key words (the engine folds P_SHADOW + 101*li off it).
+    """
+    shape = p[0].shape
+    inten = _v3(light_ref, li, _LT_INT)
+    if lkind == LIGHT_AMBIENT:
+        return tuple(jnp.full(shape, c) for c in inten)
+
+    if lkind == LIGHT_DIRECT:
+        dvec = _neg3(_v3(light_ref, li, _LT_DIR))
+        dn = _norm3(tuple(jnp.full(shape, c) for c in dvec))
+        occ = _shadow_occluded(kinds, prim_ref, p, dn,
+                               jnp.full(shape, BIGFLOAT))
+        vis = 1.0 - occ.astype(jnp.float32)
+        return tuple(vis * c for c in inten)
+
+    pos = _v3(light_ref, li, _LT_POS)
+    if not soft:
+        vec = _sub3(tuple(jnp.full(shape, c) for c in pos), p)
+        d2 = _dot3(vec, vec)
+        dist = jnp.sqrt(jnp.maximum(d2, 1e-20))
+        occ = _shadow_occluded(kinds, prim_ref, p, _scale3(vec, 1.0 / dist),
+                               dist)
+        vis = 1.0 - occ.astype(jnp.float32)
+        fall = jnp.minimum(1.0, 1.0 / jnp.maximum(d2, 1e-20))
+        out = tuple(vis * fall * c for c in inten)
+    else:
+        # Exact adaptive 16->64 recurrence (lights/lights.cpp:50-74) with
+        # the in-loop falloff and bit-identical draws: the engine draws one
+        # [s_max, 2, 2] uniform block from fold(kb, P_SHADOW + 101*li), so
+        # flat element (s, a, c) is draw_at(k, 4s + 2a + c).
+        s_min = cfg.shadow_spp
+        s_max = max(cfg.shadow_spp_max, s_min)
+        size = light_ref[li, _LT_SIZE]
+        ks = fold2(kb[0], kb[1], jnp.full(shape, RNG.P_SHADOW + 101 * li,
+                                          jnp.int32))
+        in_shadow = jnp.zeros(shape, jnp.float32)
+        frac = jnp.zeros(shape, jnp.bool_)
+        escalate = None
+        for s in range(s_max):
+            # UniformBall quirk ball, 2 attempts (core/sampler.cpp:42-53).
+            u = [draw_at(ks[0], ks[1], 4 * s + j) for j in range(4)]
+            cand = []
+            for a in range(2):
+                r1 = u[2 * a] * 2.0 - 1.0
+                r2 = u[2 * a + 1] * 2.0 - 1.0
+                cand.append((r1, r2, r2))
+            ok0 = jnp.sqrt(_dot3(cand[0], cand[0])) <= 1.0
+            pick = _where3(ok0, cand[0], cand[1])
+            pn = jnp.sqrt(_dot3(pick, pick))
+            scale = jnp.where(pn > 1.0, 1.0 / jnp.maximum(pn, 1e-12), 1.0)
+            ball = _scale3(pick, scale * size)
+            target = _add3(tuple(jnp.full(shape, c) for c in pos), ball)
+            vec = _sub3(target, p)
+            d2 = _dot3(vec, vec)
+            dist = jnp.sqrt(jnp.maximum(d2, 1e-20))
+            occ = _shadow_occluded(
+                kinds, prim_ref, p, _scale3(vec, 1.0 / dist), dist
+            )
+            x = 1.0 - occ.astype(jnp.float32)
+            fall = jnp.minimum(1.0, 1.0 / jnp.maximum(d2, 1e-20))
+            upd = in_shadow + (x - in_shadow) * fall / (s + 1.0)
+            if s < s_min:
+                in_shadow = upd
+                frac = frac | ((upd > 0.0) & (upd < 1.0))
+            else:
+                if escalate is None:
+                    escalate = frac
+                in_shadow = jnp.where(escalate, upd, in_shadow)
+        out = tuple(in_shadow * c for c in inten)
+
+    if lkind == LIGHT_SPOT:
+        # SpotLight::GetAttenuation (lights/lights.cpp:128-144).
+        ldir = _v3(light_ref, li, _LT_DIR)
+        to_p = _norm3(_sub3(p, tuple(jnp.full(shape, c) for c in pos)),
+                      eps=1e-30)
+        cos_t = to_p[0] * ldir[0] + to_p[1] * ldir[1] + to_p[2] * ldir[2]
+        r = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t)) / jnp.maximum(
+            cos_t, 1e-20
+        )
+        inner = light_ref[li, _LT_INNER]
+        outer = light_ref[li, _LT_OUTER]
+        ring = jnp.square((outer - r) / jnp.maximum(outer - inner, 1e-20))
+        att = jnp.where(r < inner, 1.0, jnp.where(r > outer, 0.0, ring))
+        att = jnp.where(cos_t < 0.0, 0.0, att)
+        out = tuple(c * att for c in out)
+    return out
+
+
+def _blinn_direct(kinds, lkinds, lsoft, prim_ref, light_ref, cfg, p, n, v,
+                  diffuse, specular, gloss, kb):
+    """blinn_direct with the PathTracing double-1/L quirk (norm_power=2,
+    skip_ambient; MtlBlinn_PathTracing.cpp:163-175)."""
+    shape = p[0].shape
+    total = (jnp.zeros(shape), jnp.zeros(shape), jnp.zeros(shape))
+    num_lights = len(lkinds)
+    if num_lights == 0:
+        return total
+    norm = (1.0 / num_lights) ** 2
+    for li, lkind in enumerate(lkinds):
+        if lkind == LIGHT_AMBIENT:
+            continue
+        inten = _illuminate(kinds, prim_ref, light_ref, li, lkind,
+                            lsoft[li], cfg, p, kb)
+        inten = _scale3(inten, norm)
+        # l_dir = normalize(-Light::Direction(p)).
+        if lkind == LIGHT_DIRECT:
+            ld = _neg3(_v3(light_ref, li, _LT_DIR))
+            l_dir = _norm3(tuple(jnp.full(shape, c) for c in ld), eps=1e-30)
+        else:
+            pos = _v3(light_ref, li, _LT_POS)
+            to_p = _norm3(_sub3(p, tuple(jnp.full(shape, c) for c in pos)),
+                          eps=1e-30)
+            l_dir = _norm3(_neg3(to_p), eps=1e-30)
+        h = _norm3(_add3(v, l_dir), eps=1e-30)
+        cos_nl = jnp.maximum(0.0, _dot3(n, l_dir))
+        cos_nh = jnp.maximum(0.0, _dot3(n, h))
+        spec_w = _pow_safe(cos_nh, gloss)
+        spec = (specular[0] * spec_w, specular[1] * spec_w,
+                specular[2] * spec_w)
+        w = cos_nl
+        total = (
+            total[0] + inten[0] * w * (diffuse[0] + spec[0]),
+            total[1] + inten[1] * w * (diffuse[1] + spec[1]),
+            total[2] + inten[2] * w * (diffuse[2] + spec[2]),
+        )
+    return total
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_kernel(meta, cfg):
+    kinds = meta.analytic_kinds
+    mtls = meta.analytic_mtls
+    lkinds = meta.light_kinds
+    lsoft = meta.light_soft
+    width = meta.img_width
+    has_dof = meta.has_dof
+    max_bounce = cfg.max_bounce
+
+    def kernel(prim_ref, mtl_ref, light_ref, cam_ref, key_ref,
+               px_ref, py_ref, sid_ref, r_out, g_out, b_out, t0_out):
+        px = px_ref[:]
+        py = py_ref[:]
+        sid = sid_ref[:]
+        shape = px.shape
+
+        # Per-ray threefry keys: fold(base, rid * 65536 + sid), int32 wrap
+        # (integrators/engine.render_batch).
+        rid = py * jnp.int32(width) + px
+        folddata = rid * jnp.int32(65536) + sid
+        b0 = key_ref[0, 0]
+        b1 = key_ref[0, 1]
+        kr = fold2(jnp.full(shape, b0), jnp.full(shape, b1), folddata)
+
+        # Camera ray (renderer.cpp:302-327; Halton 11/13 subpixel jitter).
+        jx = _halton(sid, 11)
+        jy = _halton(sid, 13)
+        tx = px.astype(jnp.float32) + jx
+        ty = py.astype(jnp.float32) + jy
+        ca = _v3(cam_ref, 0, _CAM_A)
+        cu = _v3(cam_ref, 0, _CAM_U)
+        cv = _v3(cam_ref, 0, _CAM_V)
+        cpos = _v3(cam_ref, 0, _CAM_POS)
+        cpt = tuple(ca[k] + tx * cu[k] + ty * cv[k] for k in range(3))
+        campos = tuple(jnp.full(shape, cpos[k]) for k in range(3))
+        if has_dof:
+            kd = fold2(kr[0], kr[1], jnp.full(shape, RNG.P_DOF, jnp.int32))
+            u0 = draw_at(kd[0], kd[1], 0)
+            u1 = draw_at(kd[0], kd[1], 1)
+            lr = cam_ref[0, _CAM_DOF] * jnp.sqrt(u0)
+            lt = 2.0 * np.pi * u1
+            lx, ly = lr * jnp.cos(lt), lr * jnp.sin(lt)
+            cx = _v3(cam_ref, 0, _CAM_X)
+            cy = _v3(cam_ref, 0, _CAM_Y)
+            campos = tuple(campos[k] + lx * cx[k] + ly * cy[k]
+                           for k in range(3))
+        d = _norm3(_sub3(cpt, campos))
+        p = campos
+
+        bg = _v3(cam_ref, 0, _CAM_BG)
+        env = _v3(cam_ref, 0, _CAM_ENV)
+
+        radiance = [jnp.zeros(shape), jnp.zeros(shape), jnp.zeros(shape)]
+        beta = (jnp.ones(shape), jnp.ones(shape), jnp.ones(shape))
+        alive = jnp.ones(shape, jnp.bool_)
+        t0 = jnp.full(shape, BIGFLOAT)
+
+        for bounce in range(max_bounce + 1):
+            hits = _closest_hit(kinds, mtls, prim_ref, mtl_ref, p, d)
+            hit = hits["hit"] & alive
+            miss = (~hits["hit"]) & alive
+            if bounce == 0:
+                t0 = jnp.where(hits["hit"], hits["t"], BIGFLOAT)
+                mc = bg
+            else:
+                mc = env
+            for k in range(3):
+                radiance[k] = radiance[k] + jnp.where(
+                    miss, beta[k] * mc[k], 0.0
+                )
+            alive = hit
+
+            mtl = hits["mtl"]
+            n = _norm3(hits["n"], eps=1e-30)
+            front = hits["front"]
+            v = _neg3(d)
+            kb = fold2(kr[0], kr[1],
+                       jnp.full(shape, 1000 + bounce, jnp.int32))
+
+            # --- Fresnel (MtlBlinn_PhotonMap::ComputeFresnel port, shared
+            # by the PathTracing material; integrators/common.py:112-135) ---
+            cos_nv = _dot3(n, v)
+            y = _where3(cos_nv > 0.0, n, _neg3(n))
+            z = _cross3(v, y)
+            x = _norm3(_cross3(y, z), eps=1e-30)
+            ior = mtl["ior"]
+            n_ior = jnp.where(front, 1.0 / ior, ior)
+            cos_i = cos_nv
+            sin_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_i * cos_i))
+            sin_o = jnp.clip(sin_i * n_ior, 0.0, 1.0)
+            cos_o = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_o * sin_o))
+            t_dir = tuple(-x[k] * sin_o - y[k] * cos_o for k in range(3))
+            r_dir = tuple(2.0 * n[k] * cos_nv - v[k] for k in range(3))
+            total_refl = (n_ior * sin_i) > TOTAL_REFLECTION_THRESHOLD
+            c0 = (n_ior - 1.0) ** 2 / (n_ior + 1.0) ** 2
+            r_ratio = c0 + (1.0 - c0) * jnp.power(1.0 - jnp.abs(cos_i), 5.0)
+            t_ratio = 1.0 - r_ratio
+
+            # --- lobe coefficients (MtlBlinn_PathTracing.cpp:118-159) ---
+            t_k = mtl["refraction"]
+            r_k = mtl["reflection"]
+            samp_refr = tuple(
+                jnp.where(total_refl, 0.0, t_k[k] * t_ratio) for k in range(3)
+            )
+            samp_refl = tuple(
+                jnp.where(total_refl, r_k[k] + t_k[k],
+                          r_k[k] + t_k[k] * r_ratio)
+                for k in range(3)
+            )
+            coef_refr = _max3(samp_refr)
+            coef_refl = _max3(samp_refl)
+            coef_spec = _max3(mtl["specular"])
+            coef_diff = _max3(mtl["diffuse"])
+            coef_sum = jnp.maximum(
+                coef_refr + coef_refl + coef_spec + coef_diff, 1e-20
+            )
+            c_refr = coef_refr / coef_sum
+            c_refl = coef_refl / coef_sum
+            c_spec = coef_spec / coef_sum
+            c_diff = coef_diff / coef_sum
+            sum_refr = c_refr
+            sum_refl = sum_refr + c_refl
+            sum_spec = sum_refl + c_spec
+            ksel = fold2(kb[0], kb[1],
+                         jnp.full(shape, RNG.P_LOBE_SELECT, jnp.int32))
+            select = draw_at(ksel[0], ksel[1], 0)
+            sel_refr = (select <= sum_refr) & (c_refr > 1e-6)
+            sel_refl = (~sel_refr) & (select < sum_refl) & (c_refl > 1e-6)
+            sel_spec = (
+                (~sel_refr) & (~sel_refl) & (select < sum_spec)
+                & (c_spec > 1e-6)
+            )
+            sel_diff = (
+                (~sel_refr) & (~sel_refl) & (~sel_spec) & (c_diff > 1e-6)
+            )
+
+            # --- direct + emission ---
+            direct = _blinn_direct(
+                kinds, lkinds, lsoft, prim_ref, light_ref, cfg,
+                hits["hp"], n, v, mtl["diffuse"], mtl["specular"],
+                mtl["glossiness"], kb,
+            )
+            emit = mtl["emission"]
+            for k in range(3):
+                radiance[k] = radiance[k] + jnp.where(
+                    alive, beta[k] * (emit[k] + direct[k]), 0.0
+                )
+
+            if bounce == max_bounce:
+                break
+
+            # --- continuation (MtlBlinn_PathTracing.cpp:176-297) ---
+            kh = fold2(kb[0], kb[1],
+                       jnp.full(shape, RNG.P_LOBE_SAMPLE, jnp.int32))
+            u0 = draw_at(kh[0], kh[1], 0)
+            u1 = draw_at(kh[0], kh[1], 1)
+            ct = jnp.sqrt(u0)
+            st = jnp.sqrt(jnp.maximum(0.0, 1.0 - u0))
+            phi = 2.0 * np.pi * u1
+            hemi = _norm3((st * jnp.cos(phi), st * jnp.sin(phi), ct),
+                          eps=1e-30)
+            hemi_world = _to_local_frame(y, hemi)
+
+            refr_glossy = mtl["tgloss"] > 0.0
+            refl_glossy = mtl["rgloss"] > 0.0
+
+            refr_dir = _where3(refr_glossy, _neg3(hemi_world), t_dir)
+            cos_vh_t = jnp.maximum(0.0, _dot3(v, t_dir))
+            wt = _pow_safe(cos_vh_t, mtl["tgloss"])
+            refr_bxdf = tuple(
+                jnp.where(refr_glossy, samp_refr[k] * wt, samp_refr[k])
+                for k in range(3)
+            )
+            refl_dir = _where3(refl_glossy, hemi_world, r_dir)
+            cos_vh_r = jnp.maximum(0.0, _dot3(v, r_dir))
+            wr = _pow_safe(cos_vh_r, mtl["rgloss"])
+            refl_bxdf = tuple(
+                jnp.where(refl_glossy, samp_refl[k] * wr, samp_refl[k])
+                for k in range(3)
+            )
+            h = _norm3(_add3(v, _norm3(hemi_world, eps=1e-30)), eps=1e-30)
+            cos_nh = jnp.maximum(0.0, _dot3(n, h))
+            ws = _pow_safe(cos_nh, mtl["glossiness"])
+            spec_bxdf = tuple(mtl["specular"][k] * ws for k in range(3))
+            diff_bxdf = mtl["diffuse"]
+
+            go_refr = sel_refr
+            go_refl = sel_refl
+            go_spec = sel_spec & front
+            go_diff = sel_diff & front
+
+            new_dir = _where3(
+                go_refr, refr_dir,
+                _where3(go_refl, refl_dir,
+                        _where3(go_spec, hemi_world, hemi_world)),
+            )
+            pdf = jnp.where(
+                go_refr, c_refr,
+                jnp.where(go_refl, c_refl,
+                          jnp.where(go_spec, c_spec, c_diff)),
+            )
+            bxdf = _where3(
+                go_refr, refr_bxdf,
+                _where3(go_refl, refl_bxdf,
+                        _where3(go_spec, spec_bxdf, diff_bxdf)),
+            )
+            inv_pdf = 1.0 / jnp.maximum(pdf, 1e-20)
+            alive = alive & (go_refr | go_refl | go_spec | go_diff)
+            beta = tuple(
+                jnp.where(alive, beta[k] * bxdf[k] * inv_pdf, beta[k])
+                for k in range(3)
+            )
+            p = hits["hp"]
+            d = _norm3(new_dir, eps=1e-30)
+
+        r_out[:] = radiance[0]
+        g_out[:] = radiance[1]
+        b_out[:] = radiance[2]
+        t0_out[:] = t0
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Host wrapper
+# ---------------------------------------------------------------------------
+
+
+def _pack_tables(scene):
+    """SceneArrays -> the small VMEM tables the kernel reads (all traced)."""
+    prims = scene.analytic
+    prim_tab = jnp.concatenate(
+        [prims.m_w2o.reshape(-1, 9), prims.t_o2w], axis=1
+    )  # [P, 12]
+    mt = scene.materials
+    mtl_tab = jnp.concatenate(
+        [
+            mt.diffuse, mt.specular, mt.emission, mt.reflection,
+            mt.refraction,
+            mt.glossiness[:, None], mt.reflection_glossiness[:, None],
+            mt.refraction_glossiness[:, None], mt.ior[:, None],
+        ],
+        axis=1,
+    )  # [M, MTL_COLS]
+    lt = scene.lights
+    light_tab = jnp.concatenate(
+        [
+            lt.intensity, lt.position, lt.direction,
+            lt.size[:, None], lt.inner[:, None], lt.outer[:, None],
+        ],
+        axis=1,
+    )  # [L, LIGHT_COLS]
+    cam = scene.camera
+    cam_tab = jnp.concatenate(
+        [
+            cam.pos, cam.screen_a, cam.screen_u, cam.screen_v,
+            cam.screen_x, cam.screen_y, cam.dof[None],
+            scene.background.color, scene.environment.color,
+        ]
+    )[None, :]  # [1, CAM_COLS]
+    return prim_tab, mtl_tab, light_tab, cam_tab
+
+
+@partial(jax.jit, static_argnames=("meta", "cfg", "interpret"))
+def _mega_raw(scene, meta, cfg, px, py, sample_ids, key_words,
+              interpret: bool = False):
+    """Forward-only megakernel dispatch. Returns (radiance [B,3], t0 [B])."""
+    num = px.shape[0]
+    block = BLOCK_ROWS * LANES
+    pad = (-num) % block
+    px_p = jnp.pad(px.astype(jnp.int32), (0, pad))
+    py_p = jnp.pad(py.astype(jnp.int32), (0, pad))
+    sid_p = jnp.pad(sample_ids.astype(jnp.int32), (0, pad))
+    total = num + pad
+    grid = total // block
+    rows = total // LANES
+
+    def shape2(a):
+        return a.reshape(rows, LANES)
+
+    prim_tab, mtl_tab, light_tab, cam_tab = _pack_tables(scene)
+    key2 = key_words.reshape(1, 2).astype(jnp.uint32)
+
+    block_spec = pl.BlockSpec(
+        (BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    small = pl.BlockSpec(memory_space=pltpu.VMEM)
+    f32s = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+
+    r, g, b, t0 = pl.pallas_call(
+        _make_kernel(meta, cfg),
+        grid=(grid,),
+        in_specs=[small] * 5 + [block_spec] * 3,
+        out_specs=(block_spec,) * 4,
+        out_shape=(f32s, f32s, f32s, f32s),
+        interpret=interpret,
+    )(prim_tab, mtl_tab, light_tab, cam_tab, key2,
+      shape2(px_p), shape2(py_p), shape2(sid_p))
+
+    radiance = jnp.stack(
+        [r.reshape(-1)[:num], g.reshape(-1)[:num], b.reshape(-1)[:num]],
+        axis=-1,
+    )
+    return radiance, t0.reshape(-1)[:num]
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper: megakernel forward, XLA-engine backward
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def mega_render(scene, meta, cfg, key_impl, interpret, px, py, sample_ids,
+                key_words):
+    """Megakernel render with gradients.
+
+    Forward: the fused Pallas kernel. Backward: jax.vjp of the XLA wavefront
+    engine at the same (scene, keys) — with threefry keys both paths compute
+    the same function (bit-identical draws), so this is the gradient of the
+    forward estimator; with rbg keys the backward samples an independent,
+    equally-unbiased estimator (documented deviation).
+    key_impl: static 'threefry2x32' | 'rbg' (reconstructs the typed key for
+    the backward engine call). interpret: static (CPU tests).
+    """
+    return _mega_raw(scene, meta, cfg, px, py, sample_ids,
+                     _fold_words(key_words), interpret)
+
+
+def _fold_words(key_words):
+    """[2] threefry words pass through; [4] rbg words xor-fold to 2."""
+    if key_words.shape[-1] == 4:
+        return jnp.stack(
+            [key_words[0] ^ key_words[2], key_words[1] ^ key_words[3]]
+        )
+    return key_words
+
+
+def _mega_fwd(scene, meta, cfg, key_impl, interpret, px, py, sample_ids,
+              key_words):
+    out = _mega_raw(scene, meta, cfg, px, py, sample_ids,
+                    _fold_words(key_words), interpret)
+    return out, (scene, px, py, sample_ids, key_words)
+
+
+def _mega_bwd(meta, cfg, key_impl, interpret, res, cts):
+    scene, px, py, sample_ids, key_words = res
+    from qaray_tpu.integrators.engine import render_batch_xla
+
+    base_key = jax.random.wrap_key_data(key_words, impl=key_impl)
+
+    def f(s):
+        return render_batch_xla(s, meta, cfg, px, py, sample_ids, base_key)
+
+    _, vjp = jax.vjp(f, scene)
+    (gscene,) = vjp(cts)
+    return (gscene, None, None, None, None)
+
+
+mega_render.defvjp(_mega_fwd, _mega_bwd)

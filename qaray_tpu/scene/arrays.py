@@ -187,6 +187,10 @@ class SceneMeta(NamedTuple):
     # Analytic primitive kinds (static: specializes the Pallas closest-hit
     # kernel's per-primitive branch at trace time).
     analytic_kinds: tuple = ()
+    # Per-primitive material table rows (static: lets the pathtrace
+    # megakernel fold material selection into its unrolled closest-hit loop
+    # with static table indices instead of per-lane gathers).
+    analytic_mtls: tuple = ()
     # Any material with reflection/refraction glossiness > 0 (static: lets
     # the engine skip the glossy-jitter sampling entirely for the common
     # non-glossy scene).

@@ -650,6 +650,7 @@ class SceneCompiler:
             light_kinds=tuple(_LIGHT_KIND[l.kind] for l in self.scene.lights),
             light_soft=tuple(bool(l.size > 0.01) for l in self.scene.lights),
             analytic_kinds=tuple(int(k) for k in b.analytic_kind),
+            analytic_mtls=tuple(int(m) for m in b.analytic_mtl),
             has_glossy=any(
                 m.reflection_glossiness > 0 or m.refraction_glossiness > 0
                 for m in self.materials

@@ -1,0 +1,175 @@
+"""Megakernel (ops/pallas_pathtrace.py) parity vs the XLA wavefront engine.
+
+The megakernel generates its random draws in-kernel with the threefry
+primitives of core/krng.py; under a threefry2x32 base key it computes the
+SAME function as render_batch_xla, so these tests compare the two paths
+directly (interpret-mode Pallas on the CPU backend). Float math is
+reassociated between the two compilations, so a tiny fraction of lanes near
+RR decision boundaries may take different lobes — the comparison bounds the
+outlier fraction instead of demanding bitwise equality.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from qaray_tpu.integrators.engine import (
+    IntegratorConfig,
+    render_batch_xla,
+    use_pathtrace_mega,
+)
+from qaray_tpu.ops.pallas_pathtrace import mega_render
+from qaray_tpu.scene.compiler import compile_scene
+from qaray_tpu.scene.xml_parser import load_scene
+
+INPUTS = "/root/reference/inputs"
+ASSETS = "tests/assets"
+
+
+@pytest.mark.quick
+def test_krng_bit_exact_vs_jax_random():
+    """core/krng.py fold2/draw_at == jax.random fold_in/uniform (threefry)."""
+    from qaray_tpu.core.krng import draw_at, fold2
+
+    base = jax.random.key(7, impl="threefry2x32")
+    bd = jax.random.key_data(base)
+    ids = jnp.asarray(
+        np.array([0, 1, 65536, -5, 2**31 - 1, -(2**31), 123456789], np.int32)
+    )
+    k0 = jnp.broadcast_to(bd[0], ids.shape)
+    k1 = jnp.broadcast_to(bd[1], ids.shape)
+    m0, m1 = fold2(k0, k1, ids)
+    keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(ids)
+    kd = jax.vmap(jax.random.key_data)(keys)
+    assert np.array_equal(np.asarray(m0), np.asarray(kd[:, 0]))
+    assert np.array_equal(np.asarray(m1), np.asarray(kd[:, 1]))
+
+    # nested fold + scalar draw
+    m0b, m1b = fold2(m0, m1, jnp.full(ids.shape, 1003, jnp.int32))
+    keys2 = jax.vmap(lambda k: jax.random.fold_in(k, 1003))(keys)
+    ju1 = jax.vmap(lambda k: jax.random.uniform(k, (), dtype=jnp.float32))(
+        keys2
+    )
+    assert np.array_equal(np.asarray(draw_at(m0b, m1b, 0)), np.asarray(ju1))
+
+    # multi-element draws: flat element f of uniform(key, shape)
+    ju = jax.vmap(
+        lambda k: jax.random.uniform(k, (3, 2, 2), dtype=jnp.float32)
+    )(keys2)
+    for f in range(12):
+        got = np.asarray(draw_at(m0b, m1b, f))
+        want = np.asarray(ju).reshape(ids.shape[0], 12)[:, f]
+        assert np.array_equal(got, want), f"flat element {f}"
+
+
+def _compare(scene_path, spp_lanes=4, max_bounce=4, res=(80, 60),
+             shadow_spp=8, shadow_spp_max=16):
+    scene = load_scene(scene_path)
+    scene.camera.img_width, scene.camera.img_height = res
+    arrays, meta = compile_scene(scene)
+    assert use_pathtrace_mega(
+        meta, IntegratorConfig(integrator="pathtrace")
+    ) or jax.default_backend() != "tpu", "scene should be mega-eligible"
+    cfg = IntegratorConfig(
+        integrator="pathtrace", max_bounce=max_bounce,
+        shadow_spp=shadow_spp, shadow_spp_max=shadow_spp_max,
+    )
+    w, h = res
+    npx = w * h
+    batch = npx * spp_lanes
+    ids = np.arange(batch, dtype=np.int32)
+    px = jnp.asarray(ids % w)
+    py = jnp.asarray((ids // w) % h)
+    sids = jnp.asarray(ids // npx)
+    key = jax.random.key(3, impl="threefry2x32")
+
+    rad_x, t0_x = render_batch_xla(arrays, meta, cfg, px, py, sids, key)
+    rad_m, t0_m = mega_render(
+        arrays, meta, cfg, "threefry2x32", True, px, py, sids,
+        jax.random.key_data(key),
+    )
+    rad_x, rad_m = np.asarray(rad_x), np.asarray(rad_m)
+    t0_x, t0_m = np.asarray(t0_x), np.asarray(t0_m)
+
+    # Primary depth has no RR in it: tight everywhere.
+    assert np.allclose(t0_x, t0_m, rtol=1e-4, atol=1e-3), (
+        np.abs(t0_x - t0_m).max()
+    )
+    # Radiance: identical draws => identical paths except where fp
+    # reassociation flips a lobe-select comparison. Bound the outliers.
+    diff = np.abs(rad_x - rad_m).max(axis=-1)
+    scale = 1.0 + np.abs(rad_x).max(axis=-1)
+    rel = diff / scale
+    frac_loose = (rel > 1e-3).mean()
+    assert frac_loose < 2e-3, f"{frac_loose:.2%} lanes diverge (> 1e-3 rel)"
+    assert np.median(rel) < 1e-6
+    # and the image-level estimator agrees tightly
+    mean_err = np.abs(rad_x.mean(axis=0) - rad_m.mean(axis=0)).max()
+    assert mean_err < 2e-3, mean_err
+
+
+@pytest.mark.quick
+def test_mega_parity_box():
+    """Cornell box: ambient + hard point light, diffuse + specular lobes."""
+    _compare(f"{INPUTS}/example_project3_box.xml")
+
+
+@pytest.mark.quick
+def test_mega_parity_blinn():
+    """Blinn scene: direct + point lights, mirror-ish materials."""
+    _compare(f"{INPUTS}/example_project2_blinn.xml")
+
+
+def test_mega_parity_softdof():
+    """Soft shadows (adaptive 16->64 recurrence) + DoF lens sampling."""
+    _compare(
+        f"{ASSETS}/softdof_scene.xml", spp_lanes=2, max_bounce=3,
+        res=(64, 48), shadow_spp=4, shadow_spp_max=8,
+    )
+
+
+def test_mega_grad_matches_xla():
+    """mega_render's custom_vjp == grads of the XLA engine (same draws)."""
+    from qaray_tpu.diff import extract_params, splice_params
+
+    scene = load_scene(f"{INPUTS}/example_project3_box.xml")
+    scene.camera.img_width, scene.camera.img_height = 40, 30
+    arrays, meta = compile_scene(scene)
+    cfg = IntegratorConfig(
+        integrator="pathtrace", max_bounce=2, shadow_spp=4, shadow_spp_max=4
+    )
+    batch = 1200
+    ids = np.arange(batch, dtype=np.int32)
+    px = jnp.asarray(ids % 40)
+    py = jnp.asarray((ids // 40) % 30)
+    sids = jnp.zeros(batch, jnp.int32)
+    key = jax.random.key(0, impl="threefry2x32")
+    kd = jax.random.key_data(key)
+    params = extract_params(arrays)
+
+    def loss_mega(p):
+        rad, _ = mega_render(
+            splice_params(arrays, p), meta, cfg, "threefry2x32", True,
+            px, py, sids, kd,
+        )
+        return rad.sum()
+
+    def loss_xla(p):
+        rad, _ = render_batch_xla(
+            splice_params(arrays, p), meta, cfg, px, py, sids, key
+        )
+        return rad.sum()
+
+    g_mega = jax.grad(loss_mega)(params)
+    g_xla = jax.grad(loss_xla)(params)
+    # Same estimator, same draws; residual is summation-order float noise
+    # (measured ~2e-5 relative).
+    for name in g_mega._fields:
+        a = np.asarray(getattr(g_mega, name))
+        b = np.asarray(getattr(g_xla, name))
+        if a.size == 0:
+            continue
+        bound = 1e-4 * (1.0 + float(np.abs(b).max()))
+        assert float(np.abs(a - b).max()) <= bound, name
