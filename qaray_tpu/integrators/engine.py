@@ -694,13 +694,13 @@ def integrate(scene: SceneArrays, meta: SceneMeta, cfg: IntegratorConfig,
     return radiance, t0, irrad0
 
 
-@partial(jax.jit, static_argnames=("meta", "cfg", "want_aux"))
-def render_batch_xla(scene: SceneArrays, meta: SceneMeta,
-                     cfg: IntegratorConfig, px, py, sample_ids, base_key,
-                     photon_maps=None, want_aux: bool = False):
-    """The XLA wavefront path of render_batch (always available; also the
-    reference implementation the megakernel is parity-tested against and
-    the backward pass of mega_render)."""
+def render_batch_xla_impl(scene: SceneArrays, meta: SceneMeta,
+                          cfg: IntegratorConfig, px, py, sample_ids,
+                          base_key, photon_maps=None,
+                          want_aux: bool = False):
+    """Unjitted XLA wavefront path (mega_render's bwd differentiates this
+    directly — jax.vjp through a nested pjit inside a custom_vjp bwd rule
+    fails to linearize on TPU)."""
     ray_ids = py * meta.img_width + px
     keys = RNG.ray_keys(base_key, ray_ids * 65536 + sample_ids)
     campos, d, tx, ty, diff = generate_camera_rays(
@@ -715,6 +715,11 @@ def render_batch_xla(scene: SceneArrays, meta: SceneMeta,
     if want_aux:
         return radiance, t0, irrad0
     return radiance, t0
+
+
+render_batch_xla = partial(jax.jit, static_argnames=("meta", "cfg", "want_aux"))(
+    render_batch_xla_impl
+)
 
 
 def use_pathtrace_mega(meta: SceneMeta, cfg: IntegratorConfig) -> bool:

@@ -799,12 +799,18 @@ def _mega_fwd(scene, meta, cfg, key_impl, interpret, px, py, sample_ids,
 
 def _mega_bwd(meta, cfg, key_impl, interpret, res, cts):
     scene, px, py, sample_ids, key_words = res
-    from qaray_tpu.integrators.engine import render_batch_xla
+    from qaray_tpu.integrators.engine import render_batch_xla_impl
 
     base_key = jax.random.wrap_key_data(key_words, impl=key_impl)
+    # Pure-XLA trace for the backward: jax cannot linearize a nested Pallas
+    # custom_vjp inside this bwd rule on TPU (meta.force_xla forks the
+    # trace_closest/trace_shadow jit caches).
+    meta_x = meta._replace(force_xla=True)
 
     def f(s):
-        return render_batch_xla(s, meta, cfg, px, py, sample_ids, base_key)
+        return render_batch_xla_impl(
+            s, meta_x, cfg, px, py, sample_ids, base_key
+        )
 
     _, vjp = jax.vjp(f, scene)
     (gscene,) = vjp(cts)

@@ -34,7 +34,7 @@ def _use_pallas(meta) -> bool:
     f32 — see ops/pallas_analytic.py); XLA path on CPU and for empty scenes."""
     import os
 
-    if os.environ.get("QARAY_NO_PALLAS"):
+    if os.environ.get("QARAY_NO_PALLAS") or meta.force_xla:
         return False
     return (
         jax.default_backend() == "tpu"
@@ -162,13 +162,13 @@ def _tiled_closest(scene, meta, p, d, t_cur):
     return t, tri, bary, front
 
 
-def _use_pallas_mesh(scene) -> bool:
+def _use_pallas_mesh(scene, meta) -> bool:
     """Pallas dense mesh sweep (ops/pallas_mesh.py): the TPU small-mesh
     path — VMEM-fused triangle tests, ~6-10x the XLA stream on this
     runtime (no [B, chunk] HBM intermediates)."""
     import os
 
-    if os.environ.get("QARAY_NO_PALLAS"):
+    if os.environ.get("QARAY_NO_PALLAS") or meta.force_xla:
         return False
     return (
         jax.default_backend() == "tpu"
@@ -184,7 +184,7 @@ def _stream_closest(scene, meta, p, d, t_cur):
         stream_closest,
     )
 
-    if _use_pallas_mesh(scene):
+    if _use_pallas_mesh(scene, meta):
         from qaray_tpu.ops.pallas_mesh import pallas_sweep_closest
 
         t_s, gid, gid2 = pallas_sweep_closest(
@@ -478,7 +478,7 @@ def trace_shadow(scene: SceneArrays, meta: SceneMeta, p, d, t_max):
                 return occluded
             if _use_stream(meta):
                 budget = jnp.where(occluded, 0.0, t_max)
-                if _use_pallas_mesh(scene):
+                if _use_pallas_mesh(scene, meta):
                     # Occlusion == the budget-seeded closest sweep finding
                     # any row (BIAS < t < t_max), same predicate math.
                     from qaray_tpu.ops.pallas_mesh import pallas_sweep_closest

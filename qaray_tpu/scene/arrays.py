@@ -213,6 +213,11 @@ class SceneMeta(NamedTuple):
     # Tiled packet-culled mesh path (ops/mesh_tiles.py): built by the
     # compiler for world-baked scenes ABOVE the stream triangle budget.
     mesh_tiled: bool = False
+    # Force the pure-XLA kernels (no Pallas custom_vjp ops) for this trace:
+    # mega_render's bwd rule re-differentiates the wavefront engine, and
+    # jax cannot linearize a nested Pallas custom_vjp inside another
+    # custom_vjp's bwd on TPU. Static, so it forks the jit caches cleanly.
+    force_xla: bool = False
     # The BVH builder's leaf budget: the traversal kernels unroll exactly
     # this many triangle tests per leaf, so it MUST ride along with the
     # compiled scene (a walk with a smaller static max_leaf silently skips
