@@ -734,8 +734,8 @@ def use_pathtrace_mega(meta: SceneMeta, cfg: IntegratorConfig) -> bool:
         return False
     ok = (
         cfg.integrator == "pathtrace"
-        and meta.num_mesh_instances == 0
-        and meta.num_analytic > 0
+        and (meta.num_mesh_instances == 0 or meta.mesh_mega)
+        and (meta.num_analytic > 0 or meta.mesh_mega)
         and len(meta.analytic_kinds) == meta.num_analytic
         and len(meta.analytic_mtls) == meta.num_analytic
         and not meta.has_mtl_textures

@@ -175,6 +175,137 @@ def _v3(ref, row, col):
 
 
 # ---------------------------------------------------------------------------
+# Megakernel mesh tables (host build)
+# ---------------------------------------------------------------------------
+
+MEGA_CLUSTER = 256  # triangles per cull cluster
+
+
+def build_mega_mesh(tri_v, tri_n, tri_mtl, cluster: int = MEGA_CLUSTER):
+    """World-baked triangles -> (coeff16 [Fp,16], attr16 [Fp,16],
+    cbounds [C,8]) for the in-kernel mesh sweep.
+
+    Rows are Morton-ordered by centroid (tight cluster AABBs for the
+    block-level cull); coeff16 is the pack_coeff16 layout of
+    ops/pallas_mesh.py; attr16 carries the winner-fold shading attributes:
+    cols 0-8 the three (unnormalized, world) corner normals, col 9 the
+    material table row. Padding rows never hit (all-zero coefficients).
+    """
+    from qaray_tpu.ops.mesh_stream import build_stream
+    from qaray_tpu.ops.mesh_tiles import _morton3
+    from qaray_tpu.ops.pallas_mesh import pack_coeff16
+
+    tri_v = np.asarray(tri_v, np.float32)
+    num = tri_v.shape[0]
+    order = np.argsort(_morton3(tri_v.mean(axis=1)), kind="stable")
+    sv = tri_v[order]
+    sn = np.asarray(tri_n, np.float32)[order]
+    sm = np.asarray(tri_mtl, np.int32)[order]
+    stream = build_stream(sv, chunk=cluster)
+    c16 = pack_coeff16(stream.coeff, stream.const)[: stream.coeff.shape[0]]
+    fp = c16.shape[0]
+    attr = np.zeros((fp, 16), np.float32)
+    attr[:num, 0:9] = sn.reshape(num, 9)
+    attr[:num, 9] = sm.astype(np.float32)
+    nc = fp // cluster
+    cb = np.zeros((nc, 8), np.float32)
+    for c in range(nc):
+        rows = sv[c * cluster : (c + 1) * cluster]
+        if rows.size == 0:
+            cb[c, 0:3] = 1.0
+            cb[c, 3:6] = -1.0  # empty box: never hit
+        else:
+            cb[c, 0:3] = rows.reshape(-1, 3).min(axis=0)
+            cb[c, 3:6] = rows.reshape(-1, 3).max(axis=0)
+    return c16, attr, cb
+
+
+def _bundle_bounds(p, d):
+    """Conservative scalar bounds of a ray block for cluster culling.
+
+    Same interval-arithmetic discipline as ops/mesh_tiles._packet_cull
+    (proof there): returns per-axis scalars (o_lo, o_hi, r_lo, r_hi, mixed)
+    where [r_lo, r_hi] brackets every lane's reciprocal direction and
+    `mixed` marks axes whose direction interval spans zero (fully
+    conservative)."""
+    eps = 1e-7
+    out = []
+    for k in range(3):
+        o_lo = jnp.min(p[k])
+        o_hi = jnp.max(p[k])
+        d_lo = jnp.min(d[k])
+        d_hi = jnp.max(d[k])
+        mixed = (d_lo < eps) & (d_hi > -eps)
+        safe_lo = jnp.where(jnp.abs(d_lo) < eps, eps, d_lo)
+        safe_hi = jnp.where(jnp.abs(d_hi) < eps, eps, d_hi)
+        r1 = 1.0 / safe_lo
+        r2 = 1.0 / safe_hi
+        out.append((o_lo, o_hi, jnp.minimum(r1, r2), jnp.maximum(r1, r2),
+                    mixed))
+    return out
+
+
+def _cluster_overlaps(cb_ref, c, bnd, t_hi):
+    """Scalar: may any lane of the block hit cluster `c` within t_hi?"""
+    entry = jnp.float32(-BIGFLOAT)
+    exit_ = jnp.float32(BIGFLOAT)
+    for k in range(3):
+        o_lo, o_hi, r_lo, r_hi, mixed = bnd[k]
+        bmin = cb_ref[c, k]
+        bmax = cb_ref[c, 3 + k]
+        lo_k = jnp.float32(BIGFLOAT)
+        hi_k = jnp.float32(-BIGFLOAT)
+        for b in (bmin, bmax):
+            a_lo = b - o_hi
+            a_hi = b - o_lo
+            for prod in (a_lo * r_lo, a_lo * r_hi, a_hi * r_lo, a_hi * r_hi):
+                lo_k = jnp.minimum(lo_k, prod)
+                hi_k = jnp.maximum(hi_k, prod)
+        lo_k = jnp.where(mixed, -BIGFLOAT, lo_k)
+        hi_k = jnp.where(mixed, BIGFLOAT, hi_k)
+        entry = jnp.maximum(entry, lo_k)
+        exit_ = jnp.minimum(exit_, hi_k)
+    nonempty = (cb_ref[c, 0] <= cb_ref[c, 3]) & (cb_ref[c, 1] <= cb_ref[c, 4]) \
+        & (cb_ref[c, 2] <= cb_ref[c, 5])
+    return (entry <= exit_) & (exit_ > BIAS) & (entry < t_hi) & nonempty
+
+
+def _mesh_tri_test(c16_ref, row, p, d):
+    """Sweep predicate for one triangle row vs the block ([R,128] lanes).
+
+    Same linear-in-t math as ops/pallas_mesh._sweep_kernel; returns
+    (t or BIGFLOAT, a, b, dn) — a/b are the v0/v1 barycentric weights,
+    dn = d . n decides the front flag (objects/objects.cpp:212-248)."""
+    nx = c16_ref[row, 0]
+    ny = c16_ref[row, 1]
+    nz = c16_ref[row, 2]
+    ax = c16_ref[row, 3]
+    ay = c16_ref[row, 4]
+    az = c16_ref[row, 5]
+    bx = c16_ref[row, 6]
+    by = c16_ref[row, 7]
+    bz = c16_ref[row, 8]
+    kk = c16_ref[row, 9]
+    a0 = c16_ref[row, 10]
+    b0 = c16_ref[row, 11]
+    nl = c16_ref[row, 12]
+    pn = p[0] * nx + p[1] * ny + p[2] * nz
+    dn = d[0] * nx + d[1] * ny + d[2] * nz
+    pa = p[0] * ax + p[1] * ay + p[2] * az
+    da = d[0] * ax + d[1] * ay + d[2] * az
+    pb = p[0] * bx + p[1] * by + p[2] * bz
+    db = d[0] * bx + d[1] * by + d[2] * bz
+    safe = jnp.where(jnp.abs(dn) < 1e-30, 1e-30, dn)
+    t = (kk - pn) / safe
+    parallel = jnp.abs(dn) < 1e-7 * nl
+    a = pa + t * da + a0
+    b = pb + t * db + b0
+    cc = 1.0 - a - b
+    ok = (~parallel) & (t > BIAS) & (a >= 0.0) & (b >= 0.0) & (cc >= 0.0)
+    return jnp.where(ok, t, BIGFLOAT), a, b, dn
+
+
+# ---------------------------------------------------------------------------
 # Geometry: analytic closest-hit / any-hit, unrolled over static prim kinds
 # ---------------------------------------------------------------------------
 
@@ -221,22 +352,55 @@ def _obj_ray(prim_ref, prim, p, d):
     return m, po, do
 
 
-def _shadow_occluded(kinds, prim_ref, p, d, t_max):
-    """Any-hit over all prims: BIAS < t < t_max (GenLight::Shadow)."""
+def _shadow_occluded(kinds, prim_ref, p, d, t_max, mesh=None):
+    """Any-hit over all prims + (optionally) the VMEM mesh: BIAS < t < t_max
+    (GenLight::Shadow). mesh: (c16_ref, attr_ref, cb_ref, n_clusters)."""
     occ = jnp.zeros(p[0].shape, jnp.bool_)
     for prim in range(len(kinds)):
         _, po, do = _obj_ray(prim_ref, prim, p, d)
         occ = occ | (_prim_t(kinds[prim], po, do) < t_max)
+    if mesh is not None:
+        c16_ref, _, cb_ref, n_clusters = mesh
+        bnd = _bundle_bounds(p, d)
+        # Mosaic cannot carry i1 vectors through scf.for: occlusion rides
+        # the loop as f32 0/1.
+        occf = occ.astype(jnp.float32)
+
+        def cluster(c, occf):
+            t_hi = jnp.max(jnp.where(occf > 0.5, 0.0, t_max))
+            cond = _cluster_overlaps(cb_ref, c, bnd, t_hi)
+
+            def run(occf):
+                def tri(j, occf):
+                    t, _, _, _ = _mesh_tri_test(c16_ref, c * MEGA_CLUSTER + j,
+                                                p, d)
+                    return jnp.maximum(
+                        occf, jnp.where(t < t_max, 1.0, 0.0)
+                    )
+
+                return jax.lax.fori_loop(0, MEGA_CLUSTER, tri, occf)
+
+            return jax.lax.cond(cond, run, lambda o: o, occf)
+
+        occf = jax.lax.fori_loop(0, n_clusters, cluster, occf)
+        occ = occf > 0.5
     return occ
 
 
-def _closest_hit(kinds, mtls, prim_ref, mtl_ref, p, d):
+def _closest_hit(kinds, mtls, prim_ref, mtl_ref, p, d, mesh=None,
+                 mesh_mtls=()):
     """Fused closest hit + winner attributes + material fold-in.
 
     Returns dict of [R,128] tiles: t, hit, n (world, unit), front, hp (world
     hit point at benign t), and the winner's material samples. Miss lanes get
     the same benign defaults as ops/pallas_analytic._kernel_full (n=(0,0,1),
-    front=True, material of prim 0).
+    front=True, material of the first primitive).
+
+    mesh: optional (c16_ref, attr_ref, cb_ref, n_clusters) — the VMEM mesh
+    sweep with block-level cluster culling; winner normals (smooth,
+    barycentric over the attr table's corner normals) and the material row
+    id are folded during the sweep, and params merged afterwards against
+    the static mesh_mtls tuple.
     """
     shape = p[0].shape
     t_best = jnp.full(shape, BIGFLOAT, jnp.float32)
@@ -266,7 +430,7 @@ def _closest_hit(kinds, mtls, prim_ref, mtl_ref, p, d):
                 out[k] = jnp.full(shape, v)
         return out
 
-    mtl_b = bcast(mtl_row(mtls[0]))
+    mtl_b = bcast(mtl_row(mtls[0] if mtls else mesh_mtls[0]))
 
     for prim in range(len(kinds)):
         m, po, do = _obj_ray(prim_ref, prim, p, d)
@@ -299,6 +463,60 @@ def _closest_hit(kinds, mtls, prim_ref, mtl_ref, p, d):
             else:
                 mtl_b[k] = jnp.where(take, v, mtl_b[k])
 
+    if mesh is not None:
+        c16_ref, attr_ref, cb_ref, n_clusters = mesh
+        bnd = _bundle_bounds(p, d)
+        mid_b = jnp.full(shape, -1.0, jnp.float32)
+
+        def cluster(c, carry):
+            t_b, nx, ny, nz, fr, mid = carry
+            cond = _cluster_overlaps(cb_ref, c, bnd, jnp.max(t_b))
+
+            def run(carry):
+                def tri(j, carry):
+                    t_b, nx, ny, nz, fr, mid = carry
+                    row = c * MEGA_CLUSTER + j
+                    t, a, b, dn = _mesh_tri_test(c16_ref, row, p, d)
+                    take = t < t_b
+                    cc = 1.0 - a - b
+                    # Smooth normal: a*n0 + b*n1 + c*n2 (the bary weights of
+                    # intersect_triangles; TriObj::IntersectTriangle).
+                    nwx = a * attr_ref[row, 0] + b * attr_ref[row, 3] \
+                        + cc * attr_ref[row, 6]
+                    nwy = a * attr_ref[row, 1] + b * attr_ref[row, 4] \
+                        + cc * attr_ref[row, 7]
+                    nwz = a * attr_ref[row, 2] + b * attr_ref[row, 5] \
+                        + cc * attr_ref[row, 8]
+                    return (
+                        jnp.where(take, t, t_b),
+                        jnp.where(take, nwx, nx),
+                        jnp.where(take, nwy, ny),
+                        jnp.where(take, nwz, nz),
+                        jnp.where(take, jnp.where(dn <= 0.0, 1.0, 0.0), fr),
+                        jnp.where(take, attr_ref[row, 9], mid),
+                    )
+
+                return jax.lax.fori_loop(0, MEGA_CLUSTER, tri, carry)
+
+            return jax.lax.cond(cond, run, lambda x: x, carry)
+
+        t_best, nx, ny, nz, front_b, mid_b = jax.lax.fori_loop(
+            0, n_clusters, cluster,
+            (t_best, n_b[0], n_b[1], n_b[2], front_b, mid_b),
+        )
+        n_b = _norm3((nx, ny, nz), eps=1e-30)
+        # Material merge for mesh winners: static compare per distinct row.
+        for mrow in mesh_mtls:
+            m = mid_b == float(mrow)
+            row_vals = mtl_row(mrow)
+            for k, v in row_vals.items():
+                if isinstance(v, tuple):
+                    mtl_b[k] = _where3(
+                        m, tuple(jnp.full(shape, c) for c in v), mtl_b[k]
+                    )
+                else:
+                    mtl_b[k] = jnp.where(m, v, mtl_b[k])
+
     hit = t_best < BIGFLOAT
     t_eval = jnp.where(hit, t_best, 1.0)
     hp_world = _add3(p, _scale3(d, t_eval))
@@ -317,7 +535,8 @@ def _closest_hit(kinds, mtls, prim_ref, mtl_ref, p, d):
 # ---------------------------------------------------------------------------
 
 
-def _illuminate(kinds, prim_ref, light_ref, li, lkind, soft, cfg, p, kb):
+def _illuminate(kinds, prim_ref, light_ref, li, lkind, soft, cfg, p, kb,
+                mesh=None):
     """Per-lane RGB intensity of light `li` including shadowing.
 
     kb: bounce-folded key words (the engine folds P_SHADOW + 101*li off it).
@@ -331,7 +550,7 @@ def _illuminate(kinds, prim_ref, light_ref, li, lkind, soft, cfg, p, kb):
         dvec = _neg3(_v3(light_ref, li, _LT_DIR))
         dn = _norm3(tuple(jnp.full(shape, c) for c in dvec))
         occ = _shadow_occluded(kinds, prim_ref, p, dn,
-                               jnp.full(shape, BIGFLOAT))
+                               jnp.full(shape, BIGFLOAT), mesh)
         vis = 1.0 - occ.astype(jnp.float32)
         return tuple(vis * c for c in inten)
 
@@ -341,7 +560,7 @@ def _illuminate(kinds, prim_ref, light_ref, li, lkind, soft, cfg, p, kb):
         d2 = _dot3(vec, vec)
         dist = jnp.sqrt(jnp.maximum(d2, 1e-20))
         occ = _shadow_occluded(kinds, prim_ref, p, _scale3(vec, 1.0 / dist),
-                               dist)
+                               dist, mesh)
         vis = 1.0 - occ.astype(jnp.float32)
         fall = jnp.minimum(1.0, 1.0 / jnp.maximum(d2, 1e-20))
         out = tuple(vis * fall * c for c in inten)
@@ -376,7 +595,7 @@ def _illuminate(kinds, prim_ref, light_ref, li, lkind, soft, cfg, p, kb):
             d2 = _dot3(vec, vec)
             dist = jnp.sqrt(jnp.maximum(d2, 1e-20))
             occ = _shadow_occluded(
-                kinds, prim_ref, p, _scale3(vec, 1.0 / dist), dist
+                kinds, prim_ref, p, _scale3(vec, 1.0 / dist), dist, mesh
             )
             x = 1.0 - occ.astype(jnp.float32)
             fall = jnp.minimum(1.0, 1.0 / jnp.maximum(d2, 1e-20))
@@ -409,7 +628,7 @@ def _illuminate(kinds, prim_ref, light_ref, li, lkind, soft, cfg, p, kb):
 
 
 def _blinn_direct(kinds, lkinds, lsoft, prim_ref, light_ref, cfg, p, n, v,
-                  diffuse, specular, gloss, kb):
+                  diffuse, specular, gloss, kb, mesh=None):
     """blinn_direct with the PathTracing double-1/L quirk (norm_power=2,
     skip_ambient; MtlBlinn_PathTracing.cpp:163-175)."""
     shape = p[0].shape
@@ -422,7 +641,7 @@ def _blinn_direct(kinds, lkinds, lsoft, prim_ref, light_ref, cfg, p, n, v,
         if lkind == LIGHT_AMBIENT:
             continue
         inten = _illuminate(kinds, prim_ref, light_ref, li, lkind,
-                            lsoft[li], cfg, p, kb)
+                            lsoft[li], cfg, p, kb, mesh)
         inten = _scale3(inten, norm)
         # l_dir = normalize(-Light::Direction(p)).
         if lkind == LIGHT_DIRECT:
@@ -453,9 +672,11 @@ def _blinn_direct(kinds, lkinds, lsoft, prim_ref, light_ref, cfg, p, n, v,
 # ---------------------------------------------------------------------------
 
 
-def _make_kernel(meta, cfg):
+def _make_kernel(meta, cfg, n_clusters: int):
     kinds = meta.analytic_kinds
     mtls = meta.analytic_mtls
+    mesh_mtls = meta.mesh_mega_mtls if meta.mesh_mega else ()
+    has_mesh = meta.mesh_mega
     lkinds = meta.light_kinds
     lsoft = meta.light_soft
     width = meta.img_width
@@ -463,7 +684,11 @@ def _make_kernel(meta, cfg):
     max_bounce = cfg.max_bounce
 
     def kernel(prim_ref, mtl_ref, light_ref, cam_ref, key_ref,
+               mc16_ref, mattr_ref, mcb_ref,
                px_ref, py_ref, sid_ref, r_out, g_out, b_out, t0_out):
+        mesh = (
+            (mc16_ref, mattr_ref, mcb_ref, n_clusters) if has_mesh else None
+        )
         px = px_ref[:]
         py = py_ref[:]
         sid = sid_ref[:]
@@ -511,7 +736,8 @@ def _make_kernel(meta, cfg):
         t0 = jnp.full(shape, BIGFLOAT)
 
         for bounce in range(max_bounce + 1):
-            hits = _closest_hit(kinds, mtls, prim_ref, mtl_ref, p, d)
+            hits = _closest_hit(kinds, mtls, prim_ref, mtl_ref, p, d,
+                                mesh, mesh_mtls)
             hit = hits["hit"] & alive
             miss = (~hits["hit"]) & alive
             if bounce == 0:
@@ -593,7 +819,7 @@ def _make_kernel(meta, cfg):
             direct = _blinn_direct(
                 kinds, lkinds, lsoft, prim_ref, light_ref, cfg,
                 hits["hp"], n, v, mtl["diffuse"], mtl["specular"],
-                mtl["glossiness"], kb,
+                mtl["glossiness"], kb, mesh,
             )
             emit = mtl["emission"]
             for k in range(3):
@@ -734,6 +960,16 @@ def _mega_raw(scene, meta, cfg, px, py, sample_ids, key_words,
         return a.reshape(rows, LANES)
 
     prim_tab, mtl_tab, light_tab, cam_tab = _pack_tables(scene)
+    if meta.mesh_mega:
+        mc16 = scene.mesh.mega_c16
+        mattr = scene.mesh.mega_attr
+        mcb = scene.mesh.mega_cbounds
+        n_clusters = mc16.shape[0] // MEGA_CLUSTER
+    else:
+        mc16 = jnp.zeros((MEGA_CLUSTER, 16), jnp.float32)
+        mattr = jnp.zeros((MEGA_CLUSTER, 16), jnp.float32)
+        mcb = jnp.zeros((1, 8), jnp.float32)
+        n_clusters = 0
     key2 = key_words.reshape(1, 2).astype(jnp.uint32)
 
     block_spec = pl.BlockSpec(
@@ -743,13 +979,13 @@ def _mega_raw(scene, meta, cfg, px, py, sample_ids, key_words,
     f32s = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
 
     r, g, b, t0 = pl.pallas_call(
-        _make_kernel(meta, cfg),
+        _make_kernel(meta, cfg, n_clusters),
         grid=(grid,),
-        in_specs=[small] * 5 + [block_spec] * 3,
+        in_specs=[small] * 8 + [block_spec] * 3,
         out_specs=(block_spec,) * 4,
         out_shape=(f32s, f32s, f32s, f32s),
         interpret=interpret,
-    )(prim_tab, mtl_tab, light_tab, cam_tab, key2,
+    )(prim_tab, mtl_tab, light_tab, cam_tab, key2, mc16, mattr, mcb,
       shape2(px_p), shape2(py_p), shape2(sid_p))
 
     radiance = jnp.stack(

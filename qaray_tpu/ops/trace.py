@@ -131,19 +131,51 @@ def _tile_perm(p, d, tiles):
     return coherence_order(p, d, lo, hi)
 
 
+def _use_pallas_tiles(scene, meta) -> bool:
+    """Pallas cluster-DMA tiled sweep (ops/pallas_tiles.py): the large-mesh
+    TPU path — per-packet front-to-back march with in-VMEM tests and early
+    termination, replacing the per-step XLA cull/gather/top-2 pipeline."""
+    import os
+
+    if os.environ.get("QARAY_NO_PALLAS") or meta.force_xla:
+        return False
+    if os.environ.get("QARAY_TILES_IMPL") == "xla":
+        return False
+    return (
+        jax.default_backend() == "tpu"
+        and scene.mesh.tile_c16T is not None
+    )
+
+
+def _tiled_dispatch(scene, meta, p, d, t_cur, any_hit=False):
+    """tiled_sweep with the Pallas kernel on TPU, XLA elsewhere."""
+    from qaray_tpu.ops.mesh_tiles import tiled_sweep
+
+    tiles = _tiles_of(scene)
+    if _use_pallas_tiles(scene, meta):
+        from qaray_tpu.ops.pallas_tiles import pallas_tiled_sweep
+
+        return pallas_tiled_sweep(
+            p, d, t_cur, tiles, scene.mesh.tile_c16T, any_hit=any_hit
+        )
+    return tiled_sweep(p, d, t_cur, tiles, any_hit=any_hit)
+
+
 def _tiled_closest(scene, meta, p, d, t_cur):
     """Tiled packet-culled closest hit with exact winner re-test and
     runner-up fallback (same discipline as _stream_closest)."""
-    from qaray_tpu.ops.mesh_tiles import exact_winner_rows, tiled_sweep
+    from qaray_tpu.ops.mesh_tiles import exact_winner_rows
 
     tiles = _tiles_of(scene)
     perm = _tile_perm(p, d, tiles)
     if perm is not None:
         inv = jnp.argsort(perm)
-        _, rows_s, rows2_s = tiled_sweep(p[perm], d[perm], t_cur[perm], tiles)
+        _, rows_s, rows2_s = _tiled_dispatch(
+            scene, meta, p[perm], d[perm], t_cur[perm]
+        )
         rows, rows2 = rows_s[inv], rows2_s[inv]
     else:
-        _, rows, rows2 = tiled_sweep(p, d, t_cur, tiles)
+        _, rows, rows2 = _tiled_dispatch(scene, meta, p, d, t_cur)
     t_e, bary, front, valid, gid = exact_winner_rows(
         p, d, rows, tiles, scene.mesh.tri_v
     )
@@ -462,19 +494,20 @@ def trace_shadow(scene: SceneArrays, meta: SceneMeta, p, d, t_max):
         inst = scene.instances
         if meta.world_bvh:
             if _use_tiles(meta):
-                from qaray_tpu.ops.mesh_tiles import tiled_sweep
-
                 tiles = _tiles_of(scene)
                 budget = jnp.where(occluded, 0.0, t_max)
                 perm = _tile_perm(p, d, tiles)
                 if perm is not None:
                     inv = jnp.argsort(perm)
-                    occ_s = tiled_sweep(
-                        p[perm], d[perm], budget[perm], tiles, any_hit=True
+                    occ_s = _tiled_dispatch(
+                        scene, meta, p[perm], d[perm], budget[perm],
+                        any_hit=True,
                     )
                     occluded |= occ_s[inv]
                 else:
-                    occluded |= tiled_sweep(p, d, budget, tiles, any_hit=True)
+                    occluded |= _tiled_dispatch(
+                        scene, meta, p, d, budget, any_hit=True
+                    )
                 return occluded
             if _use_stream(meta):
                 budget = jnp.where(occluded, 0.0, t_max)

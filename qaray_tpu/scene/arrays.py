@@ -86,6 +86,15 @@ class MeshArrays(NamedTuple):
     tile_const: jnp.ndarray = None  # [Fp, 4]
     tile_gid: jnp.ndarray = None  # [Fp] original triangle id
     tile_cbounds: jnp.ndarray = None  # [C, 6] cluster AABBs
+    # Transposed [16, Fp] coefficient table for the Pallas tiled kernel
+    # (ops/pallas_tiles.py) — stays in HBM, clusters DMA'd per step.
+    tile_c16T: jnp.ndarray = None
+    # Megakernel mesh tables (ops/pallas_pathtrace.py): Morton-ordered
+    # sweep coefficients + per-row shading attributes (corner normals,
+    # material row) + cluster AABBs, all VMEM-resident in the kernel.
+    mega_c16: jnp.ndarray = None  # [Fp, 16] pack_coeff16 layout
+    mega_attr: jnp.ndarray = None  # [Fp, 16] n0/n1/n2 xyz + mtl row
+    mega_cbounds: jnp.ndarray = None  # [C, 8] cluster AABB (6) + pad
 
 
 class MeshInstances(NamedTuple):
@@ -191,6 +200,13 @@ class SceneMeta(NamedTuple):
     # megakernel fold material selection into its unrolled closest-hit loop
     # with static table indices instead of per-lane gathers).
     analytic_mtls: tuple = ()
+    # Megakernel mesh path: True when the world-baked mesh fits the VMEM
+    # table budget and its faces use few enough distinct materials for the
+    # kernel's static material merge. mesh_mega_mtls = the distinct
+    # material rows (sorted); the kernel folds a per-winner material id
+    # during the sweep and merges params by comparing against this tuple.
+    mesh_mega: bool = False
+    mesh_mega_mtls: tuple = ()
     # Any material with reflection/refraction glossiness > 0 (static: lets
     # the engine skip the glossy-jitter sampling entirely for the common
     # non-glossy scene).

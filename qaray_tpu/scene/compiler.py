@@ -345,6 +345,29 @@ class SceneCompiler:
             tile_kw["tile_const"] = tiles.const
             tile_kw["tile_gid"] = tiles.gid
             tile_kw["tile_cbounds"] = tiles.cbounds
+            from qaray_tpu.ops.pallas_tiles import pack_coeffT
+
+            tile_kw["tile_c16T"] = jnp.asarray(
+                pack_coeffT(tiles.coeff, tiles.const)
+            )
+
+        # Megakernel mesh tables: Morton-clustered coefficients + per-row
+        # shading attributes, for scenes whose whole mesh fits VMEM
+        # (ops/pallas_pathtrace.py). Built alongside whichever trace-level
+        # path was selected above.
+        wn_all = np.concatenate(wn_l) if wn_l else np.zeros((0, 3, 3))
+        mtl_all = np.concatenate(mtl_l) if mtl_l else np.zeros(0, np.int32)
+        self._mega_mtls = ()
+        if 0 < wv.shape[0] <= _mega_mesh_max_tris():
+            distinct = tuple(sorted(int(m) for m in np.unique(mtl_all)))
+            if len(distinct) <= 8:
+                from qaray_tpu.ops.pallas_pathtrace import build_mega_mesh
+
+                c16, attr, cb = build_mega_mesh(wv, wn_all, mtl_all)
+                tile_kw["mega_c16"] = jnp.asarray(c16)
+                tile_kw["mega_attr"] = jnp.asarray(attr)
+                tile_kw["mega_cbounds"] = jnp.asarray(cb)
+                self._mega_mtls = distinct
         mesh_arrays = MeshArrays(
             tri_v=jnp.asarray(wv),
             tri_n=jnp.asarray(np.concatenate(wn_l)),
@@ -665,6 +688,8 @@ class SceneCompiler:
                 and int(arrays.mesh.tri_v.shape[0]) <= _stream_max_tris()
             ),
             mesh_tiled=(use_world and arrays.mesh.tile_coeff is not None),
+            mesh_mega=(use_world and arrays.mesh.mega_c16 is not None),
+            mesh_mega_mtls=getattr(self, "_mega_mtls", ()),
             max_leaf=self.max_leaf,
         )
         return arrays, meta
@@ -691,6 +716,15 @@ def _stream_max_tris() -> int:
     from qaray_tpu.ops.pallas_mesh import PALLAS_MESH_MAX_TRIS
 
     return int(os.environ.get("QARAY_STREAM_MAX_TRIS", PALLAS_MESH_MAX_TRIS))
+
+
+def _mega_mesh_max_tris() -> int:
+    """VMEM triangle budget for the megakernel's in-kernel mesh sweep
+    (coeff + attr tables = 128 B/tri; 16k tris = 2 MB). env
+    QARAY_MEGA_MESH_MAX_TRIS overrides."""
+    import os
+
+    return int(os.environ.get("QARAY_MEGA_MESH_MAX_TRIS", 16384))
 
 
 def _live_texture(tc: D.TexturedColor) -> bool:

@@ -122,6 +122,43 @@ def test_mega_parity_blinn():
     _compare(f"{INPUTS}/example_project2_blinn.xml")
 
 
+@pytest.mark.quick
+def test_mega_parity_mesh():
+    """In-kernel mesh sweep (cluster-culled, smooth normals, material
+    fold): icosphere + analytic ground, ambient + direct light.
+
+    The XLA path re-tests the sweep winner with the exact reference
+    formula while the kernel shades the sweep's own (identical-formula,
+    differently-reassociated) t/bary — near-edge lanes may flip, bounded
+    by the outlier fraction like the other scenes."""
+    scene = load_scene(f"{ASSETS}/mesh_scene.xml")
+    scene.camera.img_width, scene.camera.img_height = 80, 60
+    arrays, meta = compile_scene(scene)
+    assert meta.mesh_mega, "mesh scene should be megakernel-eligible"
+    cfg = IntegratorConfig(
+        integrator="pathtrace", max_bounce=3, shadow_spp=4, shadow_spp_max=8
+    )
+    batch = 80 * 60 * 2
+    ids = np.arange(batch, dtype=np.int32)
+    px = jnp.asarray(ids % 80)
+    py = jnp.asarray((ids // 80) % 60)
+    sids = jnp.asarray(ids // (80 * 60))
+    key = jax.random.key(5, impl="threefry2x32")
+    rad_x, t0_x = render_batch_xla(arrays, meta, cfg, px, py, sids, key)
+    rad_m, t0_m = mega_render(
+        arrays, meta, cfg, "threefry2x32", True, px, py, sids,
+        jax.random.key_data(key),
+    )
+    rad_x, rad_m = np.asarray(rad_x), np.asarray(rad_m)
+    t0_x, t0_m = np.asarray(t0_x), np.asarray(t0_m)
+    tdiff = np.abs(t0_x - t0_m)
+    assert (tdiff > 1e-3).mean() < 2e-3, (tdiff > 1e-3).mean()
+    diff = np.abs(rad_x - rad_m).max(axis=-1)
+    rel = diff / (1.0 + np.abs(rad_x).max(axis=-1))
+    assert (rel > 1e-3).mean() < 5e-3, f"{(rel > 1e-3).mean():.2%} diverge"
+    assert np.abs(rad_x.mean(axis=0) - rad_m.mean(axis=0)).max() < 2e-3
+
+
 def test_mega_parity_softdof():
     """Soft shadows (adaptive 16->64 recurrence) + DoF lens sampling."""
     _compare(

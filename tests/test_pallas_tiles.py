@@ -1,0 +1,80 @@
+"""Pallas tiled-mesh kernel (ops/pallas_tiles.py) vs the XLA tiled sweep.
+
+Same cluster tables, same predicate — the kernel must agree with
+ops.mesh_tiles.tiled_sweep on closest winners and occlusion, modulo the
+kernel's front-to-back early termination (which only skips clusters that
+provably cannot improve)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from qaray_tpu.core.constants import BIGFLOAT
+from qaray_tpu.ops.mesh_tiles import build_tiles, tiled_sweep
+from qaray_tpu.ops.pallas_tiles import pack_coeffT, pallas_tiled_sweep
+
+
+def _scene(F=4096, B=4096, seed=1):
+    rng = np.random.default_rng(seed)
+    c = rng.uniform(-10, 10, (F, 3)).astype(np.float32)
+    v = c[:, None, :] + rng.uniform(-0.5, 0.5, (F, 3, 3)).astype(np.float32)
+    p = np.tile(np.array([[0.0, 0.0, 30.0]], np.float32), (B, 1))
+    p += rng.uniform(-2, 2, (B, 3)).astype(np.float32)
+    d = rng.normal(size=(B, 3)).astype(np.float32)
+    d[:, 2] -= 1.5  # bias toward the cloud
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return v, jnp.asarray(p), jnp.asarray(d)
+
+
+@pytest.mark.quick
+def test_pallas_tiled_closest_matches_xla():
+    v, p, d = _scene()
+    tiles = build_tiles(v)
+    coeffT = jnp.asarray(pack_coeffT(tiles.coeff, tiles.const))
+    t_cur = jnp.full((p.shape[0],), BIGFLOAT)
+    t_x, r_x, r2_x = tiled_sweep(p, d, t_cur, tiles)
+    t_p, r_p, r2_p = pallas_tiled_sweep(
+        p, d, t_cur, tiles, coeffT, interpret=True
+    )
+    t_x, r_x = np.asarray(t_x), np.asarray(r_x)
+    t_p, r_p = np.asarray(t_p), np.asarray(r_p)
+    assert (r_x == r_p).mean() > 0.999, (r_x != r_p).mean()
+    hit = r_x >= 0
+    assert np.allclose(t_x[hit], t_p[hit], rtol=1e-5, atol=1e-5)
+    # runner-up optional: only used when the exact re-test rejects the
+    # winner; require agreement wherever the winner agrees and both report
+    agree = (r_x == r_p) & (np.asarray(r2_x) >= 0) & (np.asarray(r2_p) >= 0)
+    assert (np.asarray(r2_x)[agree] == np.asarray(r2_p)[agree]).mean() > 0.99
+
+
+@pytest.mark.quick
+def test_pallas_tiled_anyhit_matches_xla():
+    v, p, d = _scene(seed=2)
+    tiles = build_tiles(v)
+    coeffT = jnp.asarray(pack_coeffT(tiles.coeff, tiles.const))
+    rng = np.random.default_rng(3)
+    t_max = jnp.asarray(rng.uniform(5, 60, p.shape[0]).astype(np.float32))
+    occ_x = np.asarray(tiled_sweep(p, d, t_max, tiles, any_hit=True))
+    occ_p = np.asarray(
+        pallas_tiled_sweep(p, d, t_max, tiles, coeffT, any_hit=True,
+                           interpret=True)
+    )
+    assert (occ_x == occ_p).all()
+
+
+@pytest.mark.quick
+def test_pallas_tiled_budget_zero_lanes():
+    """Zero-budget lanes (the occluded-skip discipline) never report hits."""
+    v, p, d = _scene(F=1024, B=2048, seed=4)
+    tiles = build_tiles(v)
+    coeffT = jnp.asarray(pack_coeffT(tiles.coeff, tiles.const))
+    t_max = jnp.zeros((p.shape[0],))
+    occ = np.asarray(
+        pallas_tiled_sweep(p, d, t_max, tiles, coeffT, any_hit=True,
+                           interpret=True)
+    )
+    assert not occ.any()
+    t, r, r2 = pallas_tiled_sweep(p, d, t_max, tiles, coeffT, interpret=True)
+    assert (np.asarray(r) == -1).all()

@@ -348,6 +348,41 @@ def main():
             t_mid2 = jnp.full((n_rays,), 4.0)
             _, dt = timeit(f_tiles_any, p, d, t_mid2, tiles)
             row["tiles_anyhit_mrays_s"] = round(n_rays / dt / 1e6, 3)
+        if "ptiles" in walks:
+            from qaray_tpu.ops.mesh_tiles import (
+                build_tiles,
+                exact_winner_rows,
+            )
+            from qaray_tpu.ops.pallas_tiles import (
+                pack_coeffT,
+                pallas_tiled_sweep,
+            )
+
+            t_build0 = time.perf_counter()
+            tiles = build_tiles(tri_v)
+            coeffT = jnp.asarray(pack_coeffT(tiles.coeff, tiles.const))
+            row["ptiles_build_s"] = round(time.perf_counter() - t_build0, 3)
+
+            @jax.jit
+            def f_pt(p, d, t_init, tiles, coeffT, tv):
+                t, rows_, _ = pallas_tiled_sweep(p, d, t_init, tiles, coeffT)
+                return exact_winner_rows(p, d, rows_, tiles, tv)
+
+            out, dt = timeit(f_pt, p, d, t_init, tiles, coeffT, tv)
+            row["ptiles_mrays_s"] = round(n_rays / dt / 1e6, 3)
+            row["ptiles_hit_rate"] = round(
+                float(np.mean(np.asarray(out[3]))), 3
+            )
+
+            @jax.jit
+            def f_pt_any(p, d, t_max, tiles, coeffT):
+                return pallas_tiled_sweep(
+                    p, d, t_max, tiles, coeffT, any_hit=True
+                )
+
+            t_mid2 = jnp.full((n_rays,), 4.0)
+            _, dt = timeit(f_pt_any, p, d, t_mid2, tiles, coeffT)
+            row["ptiles_anyhit_mrays_s"] = round(n_rays / dt / 1e6, 3)
         if "stream" in walks and ntris <= args.stream_max:
             stream = build_stream(tri_v)
 
