@@ -104,15 +104,18 @@ def build_tiles(tri_v: np.ndarray, cluster: int = CLUSTER) -> TiledMesh:
     gid[:num] = order.astype(np.int32)
 
     nc = fp // cluster
-    cb = np.zeros((nc, 6), np.float32)
-    for c in range(nc):
-        rows = sorted_v[c * cluster : (c + 1) * cluster]
-        if rows.size == 0:
-            cb[c, :3] = 1.0
-            cb[c, 3:] = -1.0  # empty
-        else:
-            cb[c, :3] = rows.reshape(-1, 3).min(axis=0)
-            cb[c, 3:] = rows.reshape(-1, 3).max(axis=0)
+    # Vectorized cluster AABBs: pad the sorted verts to the padded row
+    # count with the first vertex repeated (padding rows never hit; their
+    # only effect here is keeping the parent cluster box non-degenerate).
+    pad_rows = fp - num
+    padded = np.concatenate(
+        [sorted_v]
+        + ([np.broadcast_to(sorted_v[-1:], (pad_rows, 3, 3))] if pad_rows
+           else [])
+    ).reshape(nc, cluster * 3, 3)
+    cb = np.concatenate(
+        [padded.min(axis=1), padded.max(axis=1)], axis=1
+    ).astype(np.float32)
     return TiledMesh(
         coeff=stream.coeff,
         const=stream.const,
@@ -297,17 +300,21 @@ def tiled_sweep(p, d, t_cur, tiles: TiledMesh, packet: int = PACKET,
 
 
 def coherence_order(p, d, scene_lo, scene_hi):
-    """Sort key for ray coherence: direction octant (3 bits) then a 15-bit
-    Morton code of the origin. Packets of sorted rays share tight
-    origin-boxes and single-sign direction intervals, which is exactly what
-    `_packet_cull` needs; primary camera batches are already coherent, but
-    bounce/shadow wavefronts are not. Returns the permutation [B].
+    """Sort key for ray coherence: a 15-bit Morton code of the origin
+    (high bits) then a 15-bit Morton code of the DIRECTION. Packets of
+    sorted rays share tight origin-boxes and narrow direction intervals —
+    exactly what `_packet_cull`'s interval test needs. The direction bits
+    matter most for pinhole-camera batches, where every origin is
+    identical and an origin-only key (the r03 version) degenerated to no
+    sort at all: terrain-style wide scanline packets then spanned the whole
+    frustum and culled nothing. Returns the permutation [B].
 
     Pure reordering: the sweep's winners are per-ray, so sorting + inverse
     scatter is bit-neutral on results (tested).
     """
     ext = jnp.maximum(scene_hi - scene_lo, 1e-12)
     q = jnp.clip((p - scene_lo) / ext * 31.0, 0.0, 31.0).astype(jnp.uint32)
+    qd = jnp.clip((d + 1.0) * 15.999, 0.0, 31.0).astype(jnp.uint32)
 
     def spread5(v):  # 5 bits -> every 3rd position
         v = (v | (v << 8)) & jnp.uint32(0x0100F)
@@ -315,15 +322,13 @@ def coherence_order(p, d, scene_lo, scene_hi):
         v = (v | (v << 2)) & jnp.uint32(0x09249)
         return v
 
-    morton = (
-        spread5(q[:, 0]) | (spread5(q[:, 1]) << 1) | (spread5(q[:, 2]) << 2)
-    )
-    octant = (
-        (d[:, 0] >= 0).astype(jnp.uint32)
-        | ((d[:, 1] >= 0).astype(jnp.uint32) << 1)
-        | ((d[:, 2] >= 0).astype(jnp.uint32) << 2)
-    )
-    key = (octant << 15) | morton
+    def morton(a):
+        return (
+            spread5(a[:, 0]) | (spread5(a[:, 1]) << 1)
+            | (spread5(a[:, 2]) << 2)
+        )
+
+    key = (morton(q) << 15) | morton(qd)
     return jnp.argsort(key)
 
 

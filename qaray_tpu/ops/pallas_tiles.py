@@ -38,8 +38,13 @@ from jax.experimental.pallas import tpu as pltpu
 from qaray_tpu.core.constants import BIAS, BIGFLOAT
 from qaray_tpu.ops.mesh_tiles import CLUSTER, TiledMesh
 
+import os
+
 LANES = 128
-PACKET_ROWS = 16  # 2048 rays per packet (tight cull bounds)
+# Rays per packet = PACKET_ROWS * 128. Smaller packets cull tighter but
+# pay more per-packet overhead; 16 rows (2048 rays) measured best on ico
+# meshes, env QARAY_PTILE_ROWS for experiments.
+PACKET_ROWS = int(os.environ.get("QARAY_PTILE_ROWS", "16"))
 PACKET = PACKET_ROWS * LANES
 
 
@@ -98,12 +103,13 @@ def packet_cull_entry(po, pd, t_hi, cbounds):
     return hit, jnp.maximum(entry, 0.0)
 
 
-def _closest_kernel(n_clusters, order_ref, entry_ref, count_ref, coeffT,
-                    px, py, pz, dx, dy, dz, tcur,
+def _closest_kernel(n_clusters, cluster, order_ref, entry_ref, count_ref, coeffT,
+                    px, py, pz, dx, dy, dz, tcur, tcap,
                     t_out, row_out, row2_out, scratch, sem):
     rpx, rpy, rpz = px[:], py[:], pz[:]
     rdx, rdy, rdz = dx[:], dy[:], dz[:]
     t_in = tcur[:]
+    cap = tcap[:]
     count = count_ref[0, 0, 0]
 
     def tri_body(r8, carry):
@@ -152,20 +158,24 @@ def _closest_kernel(n_clusters, order_ref, entry_ref, count_ref, coeffT,
         j, t_b, r_b, t2_b, r2_b = state
         live = j < count
         ent = entry_ref[0, 0, jnp.minimum(j, n_clusters - 1)]
-        return live & (ent <= jnp.max(t_b))
+        # Per-lane termination bound: a lane can improve only below
+        # min(current best, its root-box exit) — every triangle lies inside
+        # the root box, so no hit exists beyond the lane's box exit. This is
+        # what lets packets containing all-miss rays terminate.
+        return live & (ent <= jnp.max(jnp.minimum(t_b, cap)))
 
     def body(state):
         j, t_b, r_b, t2_b, r2_b = state
         cid = order_ref[0, 0, jnp.minimum(j, n_clusters - 1)]
         dma = pltpu.make_async_copy(
-            coeffT.at[pl.ds(cid * (CLUSTER // 8), CLUSTER // 8), :],
+            coeffT.at[pl.ds(cid * (cluster // 8), cluster // 8), :],
             scratch, sem,
         )
         dma.start()
         dma.wait()
         t_b, r_b, t2_b, r2_b, _ = jax.lax.fori_loop(
-            0, CLUSTER // 8, tri_body,
-            (t_b, r_b, t2_b, r2_b, cid * CLUSTER),
+            0, cluster // 8, tri_body,
+            (t_b, r_b, t2_b, r2_b, cid * cluster),
         )
         return j + 1, t_b, r_b, t2_b, r2_b
 
@@ -183,12 +193,13 @@ def _closest_kernel(n_clusters, order_ref, entry_ref, count_ref, coeffT,
     row2_out[:] = jnp.where(t2_b < BIGFLOAT, r2_b, -1)
 
 
-def _anyhit_kernel(n_clusters, order_ref, entry_ref, count_ref, coeffT,
-                   px, py, pz, dx, dy, dz, tmax,
+def _anyhit_kernel(n_clusters, cluster, order_ref, entry_ref, count_ref, coeffT,
+                   px, py, pz, dx, dy, dz, tmax, tcap,
                    occ_out, scratch, sem):
     rpx, rpy, rpz = px[:], py[:], pz[:]
     rdx, rdy, rdz = dx[:], dy[:], dz[:]
     t_max = tmax[:]
+    cap = tcap[:]
     count = count_ref[0, 0, 0]
 
     def tri_body(r8, carry):
@@ -233,20 +244,23 @@ def _anyhit_kernel(n_clusters, order_ref, entry_ref, count_ref, coeffT,
         live = j < count
         # Stop when every lane with budget is occluded (budget <= BIAS
         # lanes can never record a hit anyway: t > BIAS fails t < t_max).
-        open_lanes = jnp.max(jnp.where(occf > 0.5, 0.0, t_max))
-        return live & (open_lanes > BIAS)
+        open_lanes = jnp.max(
+            jnp.where(occf > 0.5, 0.0, jnp.minimum(t_max, cap))
+        )
+        ent = entry_ref[0, 0, jnp.minimum(j, n_clusters - 1)]
+        return live & (open_lanes > BIAS) & (ent <= open_lanes)
 
     def body(state):
         j, occf = state
         cid = order_ref[0, 0, jnp.minimum(j, n_clusters - 1)]
         dma = pltpu.make_async_copy(
-            coeffT.at[pl.ds(cid * (CLUSTER // 8), CLUSTER // 8), :],
+            coeffT.at[pl.ds(cid * (cluster // 8), cluster // 8), :],
             scratch, sem,
         )
         dma.start()
         dma.wait()
         occf, _ = jax.lax.fori_loop(
-            0, CLUSTER // 8, tri_body, (occf, cid * CLUSTER)
+            0, cluster // 8, tri_body, (occf, cid * cluster)
         )
         return j + 1, occf
 
@@ -255,9 +269,11 @@ def _anyhit_kernel(n_clusters, order_ref, entry_ref, count_ref, coeffT,
     occ_out[:] = occf
 
 
-@partial(jax.jit, static_argnames=("any_hit", "interpret"))
+@partial(jax.jit,
+         static_argnames=("any_hit", "interpret", "cluster", "packet_rows"))
 def pallas_tiled_sweep(p, d, t_cur, tiles: TiledMesh, coeffT,
-                       any_hit: bool = False, interpret: bool = False):
+                       any_hit: bool = False, interpret: bool = False,
+                       cluster: int = CLUSTER, packet_rows: int = None):
     """Drop-in counterpart of ops.mesh_tiles.tiled_sweep on the Pallas path.
 
     closest: returns (t [B], row [B], row2 [B]) (sorted-row ids, -1 = none).
@@ -265,20 +281,35 @@ def pallas_tiled_sweep(p, d, t_cur, tiles: TiledMesh, coeffT,
     coeffT: [Fp/8, 128] from pack_coeffT (HBM-resident; clusters DMA'd).
     """
     num = p.shape[0]
-    pad = (-num) % PACKET
+    packet_rows = PACKET_ROWS if packet_rows is None else packet_rows
+    packet = packet_rows * LANES
+    pad = (-num) % packet
     pp = jnp.pad(p, ((0, pad), (0, 0)))
     dd = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
     tt = jnp.pad(t_cur, (0, pad))  # pad budget 0 -> no work, no hits
     total = num + pad
-    g = total // PACKET
+    g = total // packet
     n_clusters = tiles.cbounds.shape[0]
 
-    po = pp.reshape(g, PACKET, 3)
-    pd_ = dd.reshape(g, PACKET, 3)
-    pt = tt.reshape(g, PACKET)
+    po = pp.reshape(g, packet, 3)
+    pd_ = dd.reshape(g, packet, 3)
+    pt = tt.reshape(g, packet)
 
     def cull(o, dvec, tb):
         return packet_cull_entry(o, dvec, jnp.max(tb), tiles.cbounds)
+
+    # Per-ray root-box exit: caps each lane's termination bound (no hit
+    # can lie beyond the ray's exit from the geometry's bounding box).
+    root_lo = jnp.min(tiles.cbounds[:, :3], axis=0)
+    root_hi = jnp.max(tiles.cbounds[:, 3:6], axis=0)
+    safe_d = jnp.where(jnp.abs(dd) < 1e-7, 1e-7, dd)
+    inv = 1.0 / safe_d
+    t1 = (root_lo[None, :] - pp) * inv
+    t2 = (root_hi[None, :] - pp) * inv
+    t_far = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    mixed_axis = jnp.any(jnp.abs(dd) < 1e-7, axis=-1)
+    box_exit = jnp.where(mixed_axis, BIGFLOAT, t_far * 1.0001 + 1e-3)
+    box_exit = jnp.maximum(box_exit, 0.0)
 
     masks, entries = jax.vmap(cull)(po, pd_, pt)  # [G,C], [G,C]
     counts = jnp.sum(masks, axis=-1).astype(jnp.int32)[:, None, None]
@@ -297,10 +328,10 @@ def pallas_tiled_sweep(p, d, t_cur, tiles: TiledMesh, coeffT,
 
     comps = [shape2(pp[:, k]) for k in range(3)] + [
         shape2(dd[:, k]) for k in range(3)
-    ] + [shape2(tt)]
+    ] + [shape2(tt), shape2(box_exit)]
 
     block = pl.BlockSpec(
-        (PACKET_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (packet_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     # SMEM: the kernel reads these one scalar at a time at dynamic
     # indices, which VMEM vector memrefs do not support.
@@ -311,7 +342,7 @@ def pallas_tiled_sweep(p, d, t_cur, tiles: TiledMesh, coeffT,
                               memory_space=pltpu.SMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     scratch_shapes = [
-        pltpu.VMEM((CLUSTER // 8, 128), jnp.float32),
+        pltpu.VMEM((cluster // 8, 128), jnp.float32),
         pltpu.SemaphoreType.DMA(()),
     ]
     f32s = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
@@ -319,9 +350,9 @@ def pallas_tiled_sweep(p, d, t_cur, tiles: TiledMesh, coeffT,
 
     if any_hit:
         occ = pl.pallas_call(
-            partial(_anyhit_kernel, n_clusters),
+            partial(_anyhit_kernel, n_clusters, cluster),
             grid=(g,),
-            in_specs=[per_packet, per_packet, count_spec, hbm] + [block] * 7,
+            in_specs=[per_packet, per_packet, count_spec, hbm] + [block] * 8,
             out_specs=block,
             out_shape=f32s,
             scratch_shapes=scratch_shapes,
@@ -330,9 +361,9 @@ def pallas_tiled_sweep(p, d, t_cur, tiles: TiledMesh, coeffT,
         return occ.reshape(-1)[:num] > 0.5
 
     t, row, row2 = pl.pallas_call(
-        partial(_closest_kernel, n_clusters),
+        partial(_closest_kernel, n_clusters, cluster),
         grid=(g,),
-        in_specs=[per_packet, per_packet, count_spec, hbm] + [block] * 7,
+        in_specs=[per_packet, per_packet, count_spec, hbm] + [block] * 8,
         out_specs=(block, block, block),
         out_shape=(f32s, i32s, i32s),
         scratch_shapes=scratch_shapes,

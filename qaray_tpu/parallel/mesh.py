@@ -41,18 +41,56 @@ def shard_render_batch(mesh: Mesh):
     """
     replicated = NamedSharding(mesh, P())
     sharded = NamedSharding(mesh, P("rays"))
+    multiprocess = len(mesh.devices.flatten()) > len(
+        [d for d in mesh.devices.flatten() if d.process_index == jax.process_index()]
+    )
+
+    def put(x, sh):
+        """Place with a global sharding. Multi-process: device_put rejects
+        non-addressable shardings, so build the global array from the
+        process-local full copy (every host computes the same full batch —
+        the reference's every-rank-loads-everything discipline)."""
+        if not multiprocess:
+            return jax.device_put(x, sh)
+        return jax.tree.map(
+            lambda a: jax.make_array_from_process_local_data(sh, np.asarray(a))
+            if not _is_key(a)
+            else a,
+            x,
+        )
+
+    def _is_key(a):
+        import jax.dtypes
+
+        return hasattr(a, "dtype") and jax.dtypes.issubdtype(
+            a.dtype, jax.dtypes.prng_key
+        )
 
     def run(scene, meta, cfg, px, py, sample_ids, base_key, photon_maps=None,
             want_aux=False):
-        scene = jax.device_put(scene, replicated)
-        px = jax.device_put(px, sharded)
-        py = jax.device_put(py, sharded)
-        sample_ids = jax.device_put(sample_ids, sharded)
-        base_key = jax.device_put(base_key, replicated)
+        scene = put(scene, replicated)
+        px = put(px, sharded)
+        py = put(py, sharded)
+        sample_ids = put(sample_ids, sharded)
+        # Typed key arrays can't round-trip through process-local
+        # construction; they are host-identical scalars, passed through and
+        # treated as replicated by jit.
+        if not multiprocess:
+            base_key = jax.device_put(base_key, replicated)
         if photon_maps is not None:
-            photon_maps = jax.device_put(photon_maps, replicated)
-        return render_batch(scene, meta, cfg, px, py, sample_ids, base_key,
-                            photon_maps, want_aux=want_aux)
+            photon_maps = put(photon_maps, replicated)
+        out = render_batch(scene, meta, cfg, px, py, sample_ids, base_key,
+                           photon_maps, want_aux=want_aux)
+        if jax.process_count() > 1:
+            # Multi-process: the outputs are GLOBAL sharded arrays whose
+            # shards live on other hosts too; gather them so every process
+            # holds the full result (the reference's mask-composite to rank
+            # 0, Renderer_MPI.cpp:142-207 — except every rank gets a copy,
+            # which is what the renderer's accumulate expects).
+            from jax.experimental import multihost_utils
+
+            out = multihost_utils.process_allgather(out, tiled=True)
+        return out
 
     return run
 

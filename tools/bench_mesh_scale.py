@@ -363,10 +363,20 @@ def main():
             coeffT = jnp.asarray(pack_coeffT(tiles.coeff, tiles.const))
             row["ptiles_build_s"] = round(time.perf_counter() - t_build0, 3)
 
+            from qaray_tpu.ops.mesh_tiles import coherence_order
+
             @jax.jit
             def f_pt(p, d, t_init, tiles, coeffT, tv):
-                t, rows_, _ = pallas_tiled_sweep(p, d, t_init, tiles, coeffT)
-                return exact_winner_rows(p, d, rows_, tiles, tv)
+                # Mirror the production path (ops/trace._tiled_closest):
+                # coherence-sort rays so packets have tight cull bounds.
+                lo = jnp.min(tiles.cbounds[:, :3], axis=0)
+                hi = jnp.max(tiles.cbounds[:, 3:], axis=0)
+                perm = coherence_order(p, d, lo, hi)
+                inv = jnp.argsort(perm)
+                t, rows_, _ = pallas_tiled_sweep(
+                    p[perm], d[perm], t_init[perm], tiles, coeffT
+                )
+                return exact_winner_rows(p, d, rows_[inv], tiles, tv)
 
             out, dt = timeit(f_pt, p, d, t_init, tiles, coeffT, tv)
             row["ptiles_mrays_s"] = round(n_rays / dt / 1e6, 3)
@@ -376,9 +386,15 @@ def main():
 
             @jax.jit
             def f_pt_any(p, d, t_max, tiles, coeffT):
-                return pallas_tiled_sweep(
-                    p, d, t_max, tiles, coeffT, any_hit=True
+                lo = jnp.min(tiles.cbounds[:, :3], axis=0)
+                hi = jnp.max(tiles.cbounds[:, 3:], axis=0)
+                perm = coherence_order(p, d, lo, hi)
+                inv = jnp.argsort(perm)
+                occ = pallas_tiled_sweep(
+                    p[perm], d[perm], t_max[perm], tiles, coeffT,
+                    any_hit=True,
                 )
+                return occ[inv]
 
             t_mid2 = jnp.full((n_rays,), 4.0)
             _, dt = timeit(f_pt_any, p, d, t_mid2, tiles, coeffT)
