@@ -121,6 +121,12 @@ def parse_args(argv):
         elif a == "-profile":
             i += 1
             overrides["profile"] = argv[i]
+        elif a == "-serve":
+            # Interactive preview server (the GUI viewport replacement,
+            # qaray_tpu/viz/serve.py): live progressive frames, probe,
+            # restart, parameter edits, camera orbit over localhost HTTP.
+            i += 1
+            overrides["serve"] = int(argv[i])
         else:
             scene_file = a
         i += 1
@@ -157,6 +163,13 @@ def main(argv=None):
     if "res" in overrides:
         scene.camera.img_width, scene.camera.img_height = overrides["res"]
     renderer = Renderer(param)
+
+    if "serve" in overrides:
+        from qaray_tpu.viz.serve import RenderServer
+
+        RenderServer(renderer, scene, overrides["serve"]).serve(block=True)
+        return 0
+
     renderer.compute_scene(scene)
 
     def progress(done, total):
