@@ -134,6 +134,9 @@ def parse_args(argv):
 
 
 def main(argv=None):
+    from qaray_tpu.utils.timing import enable_compile_cache
+
+    enable_compile_cache()
     argv = argv if argv is not None else sys.argv[1:]
     param, scene_file, out_prefix, devices, overrides = parse_args(argv)
     if scene_file is None:

@@ -79,8 +79,17 @@ def splice_params(scene: SceneArrays, params: DiffParams) -> SceneArrays:
 
 def render_with_params(scene, meta, cfg, params: DiffParams, px, py,
                        sample_ids, key):
-    """Radiance [B,3] as a function of the differentiable bundle."""
-    radiance, _ = render_batch(
+    """Radiance [B,3] as a function of the differentiable bundle.
+
+    Drives the XLA wavefront engine directly: under value_and_grad the
+    megakernel's custom_vjp would re-run the XLA forward anyway for its
+    residuals (double work); going straight to the engine keeps the Pallas
+    closest-hit custom_vjp fast path and halves the joint fwd+bwd cost.
+    render_batch (and its megakernel) stays differentiable for callers who
+    grad through it themselves."""
+    from qaray_tpu.integrators.engine import render_batch_xla
+
+    radiance, _ = render_batch_xla(
         splice_params(scene, params), meta, cfg, px, py, sample_ids, key
     )
     return radiance

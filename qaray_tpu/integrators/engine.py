@@ -733,7 +733,7 @@ def use_pathtrace_mega(meta: SceneMeta, cfg: IntegratorConfig) -> bool:
     if os.environ.get("QARAY_NO_MEGAKERNEL"):
         return False
     ok = (
-        cfg.integrator == "pathtrace"
+        cfg.integrator in ("pathtrace", "photonmap")
         and (meta.num_mesh_instances == 0 or meta.mesh_mega)
         and (meta.num_analytic > 0 or meta.mesh_mega)
         and len(meta.analytic_kinds) == meta.num_analytic

@@ -119,6 +119,12 @@ def _max3(a):
     return jnp.maximum(a[0], jnp.maximum(a[1], a[2]))
 
 
+def _luma3(a):
+    from qaray_tpu.core.constants import LUMA_B, LUMA_G, LUMA_R
+
+    return LUMA_R * a[0] + LUMA_G * a[1] + LUMA_B * a[2]
+
+
 def _pow_safe(base, e):
     return jnp.power(jnp.maximum(base, 1e-6), e)
 
@@ -158,7 +164,8 @@ def _halton(i, base: int, iters: int = 10):
 # mtl table columns
 _MT_DIFF, _MT_SPEC, _MT_EMIT, _MT_REFL, _MT_REFR = 0, 3, 6, 9, 12
 _MT_GLOSS, _MT_RGLOSS, _MT_TGLOSS, _MT_IOR = 15, 16, 17, 18
-MTL_COLS = 19
+_MT_ABS = 19
+MTL_COLS = 22
 
 # light table columns
 _LT_INT, _LT_POS, _LT_DIR, _LT_SIZE, _LT_INNER, _LT_OUTER = 0, 3, 6, 9, 10, 11
@@ -415,6 +422,7 @@ def _closest_hit(kinds, mtls, prim_ref, mtl_ref, p, d, mesh=None,
             "emission": _v3(mtl_ref, row, _MT_EMIT),
             "reflection": _v3(mtl_ref, row, _MT_REFL),
             "refraction": _v3(mtl_ref, row, _MT_REFR),
+            "absorption": _v3(mtl_ref, row, _MT_ABS),
             "glossiness": mtl_ref[row, _MT_GLOSS],
             "rgloss": mtl_ref[row, _MT_RGLOSS],
             "tgloss": mtl_ref[row, _MT_TGLOSS],
@@ -628,20 +636,22 @@ def _illuminate(kinds, prim_ref, light_ref, li, lkind, soft, cfg, p, kb,
 
 
 def _blinn_direct(kinds, lkinds, lsoft, prim_ref, light_ref, cfg, p, n, v,
-                  diffuse, specular, gloss, kb, mesh=None):
-    """blinn_direct with the PathTracing double-1/L quirk (norm_power=2,
-    skip_ambient; MtlBlinn_PathTracing.cpp:163-175)."""
+                  diffuse, specular, gloss, kb, mesh=None,
+                  norm_power: int = 2):
+    """blinn_direct, skip_ambient. norm_power=2 is the PathTracing
+    double-1/L quirk (MtlBlinn_PathTracing.cpp:163-175); 1 is the PhotonMap
+    convention (MtlBlinn_PhotonMap.cpp:482-498)."""
     shape = p[0].shape
     total = (jnp.zeros(shape), jnp.zeros(shape), jnp.zeros(shape))
     num_lights = len(lkinds)
     if num_lights == 0:
         return total
-    norm = (1.0 / num_lights) ** 2
-    for li, lkind in enumerate(lkinds):
-        if lkind == LIGHT_AMBIENT:
-            continue
+    norm = (1.0 / num_lights) ** norm_power
+
+    def one_light(li, lkind, soft, total):
+        """li may be a python int or a traced scalar (fori over a run)."""
         inten = _illuminate(kinds, prim_ref, light_ref, li, lkind,
-                            lsoft[li], cfg, p, kb, mesh)
+                            soft, cfg, p, kb, mesh)
         inten = _scale3(inten, norm)
         # l_dir = normalize(-Light::Direction(p)).
         if lkind == LIGHT_DIRECT:
@@ -659,12 +669,69 @@ def _blinn_direct(kinds, lkinds, lsoft, prim_ref, light_ref, cfg, p, n, v,
         spec = (specular[0] * spec_w, specular[1] * spec_w,
                 specular[2] * spec_w)
         w = cos_nl
-        total = (
+        return (
             total[0] + inten[0] * w * (diffuse[0] + spec[0]),
             total[1] + inten[1] * w * (diffuse[1] + spec[1]),
             total[2] + inten[2] * w * (diffuse[2] + spec[2]),
         )
+
+    # Group consecutive lights of the same (kind, soft) into ONE in-kernel
+    # fori_loop with a dynamic light row — many-light scenes (xmas has 18
+    # spots) otherwise unroll into a kernel Mosaic takes minutes to
+    # compile. Single lights stay inlined (static row).
+    runs = []
+    for li, lkind in enumerate(lkinds):
+        key = (lkind, lsoft[li])
+        if runs and runs[-1][2] == key and runs[-1][1] == li:
+            runs[-1] = (runs[-1][0], li + 1, key)
+        else:
+            runs.append((li, li + 1, key))
+    for start, end, (lkind, soft) in runs:
+        if lkind == LIGHT_AMBIENT:
+            continue
+        if end - start == 1:
+            total = one_light(start, lkind, soft, total)
+        else:
+            total = jax.lax.fori_loop(
+                start, end,
+                lambda li, t, _k=lkind, _s=soft: one_light(li, _k, _s, t),
+                total,
+            )
     return total
+
+
+def _glossy_jitter(center, y_axis, gloss, keys, want_up, shape):
+    """Port of common.glossy_jitter_dir (SampleTransmit/ReflectionBxDF,
+    MtlBlinn_PhotonMap.cpp:152-200): dir = normalize(normalize(center) +
+    UniformBall(2*gloss)) with the reference's (r1, r2, r2) quirk ball,
+    4 hemisphere attempts x 4 ball attempts, first success wins, mirror
+    center fallback. Draws match uniform(keys, (4, 4, 2)) flat order."""
+    c = _norm3(center, eps=1e-30)
+    radius = 2.0 * gloss
+    res = c
+    # Reverse iteration = first-success-wins with the reference fallbacks.
+    for a in range(3, -1, -1):
+        # Inner quirk-ball rejection: default = LAST attempt, radially
+        # clamped (core/warps.uniform_ball_ref).
+        pick = None
+        for i in range(3, -1, -1):
+            f = a * 8 + i * 2
+            r1 = draw_at(keys[0], keys[1], f) * 2.0 - 1.0
+            r2 = draw_at(keys[0], keys[1], f + 1) * 2.0 - 1.0
+            p_i = (r1, r2, r2)
+            if pick is None:
+                pick = p_i
+            else:
+                ok_i = jnp.sqrt(_dot3(p_i, p_i)) <= 1.0
+                pick = _where3(ok_i, p_i, pick)
+        pn = jnp.sqrt(_dot3(pick, pick))
+        scale = jnp.where(pn > 1.0, 1.0 / jnp.maximum(pn, 1e-12), 1.0)
+        ball = _scale3(pick, scale * radius)
+        cand = _norm3(_add3(c, ball), eps=1e-30)
+        side = _dot3(cand, y_axis)
+        ok_a = side >= 0.0 if want_up else side <= 0.0
+        res = _where3(ok_a, cand, res)
+    return res
 
 
 # ---------------------------------------------------------------------------
@@ -681,6 +748,8 @@ def _make_kernel(meta, cfg, n_clusters: int):
     lsoft = meta.light_soft
     width = meta.img_width
     has_dof = meta.has_dof
+    has_glossy = meta.has_glossy
+    integrator = cfg.integrator
     max_bounce = cfg.max_bounce
 
     def kernel(prim_ref, mtl_ref, light_ref, cam_ref, key_ref,
@@ -734,6 +803,10 @@ def _make_kernel(meta, cfg, n_clusters: int):
         beta = (jnp.ones(shape), jnp.ones(shape), jnp.ones(shape))
         alive = jnp.ones(shape, jnp.bool_)
         t0 = jnp.full(shape, BIGFLOAT)
+        # PhotonMap state: hasDiffuseHit (f32 0/1) + pending back-face
+        # absorption (ComputeSecondaryRay, MtlBlinn_PhotonMap.cpp:246-249).
+        has_dh = jnp.zeros(shape, jnp.float32)
+        pend = (jnp.zeros(shape), jnp.zeros(shape), jnp.zeros(shape))
 
         for bounce in range(max_bounce + 1):
             hits = _closest_hit(kinds, mtls, prim_ref, mtl_ref, p, d,
@@ -750,6 +823,16 @@ def _make_kernel(meta, cfg, n_clusters: int):
                     miss, beta[k] * mc[k], 0.0
                 )
             alive = hit
+            if integrator == "photonmap":
+                # Beer attenuation on back-face continuations with the
+                # PARENT vertex's absorption over the traveled distance.
+                bmask = hit & (~hits["front"])
+                beta = tuple(
+                    jnp.where(bmask,
+                              beta[k] * jnp.exp(-pend[k] * hits["t"]),
+                              beta[k])
+                    for k in range(3)
+                )
 
             mtl = hits["mtl"]
             n = _norm3(hits["n"], eps=1e-30)
@@ -777,7 +860,7 @@ def _make_kernel(meta, cfg, n_clusters: int):
             r_ratio = c0 + (1.0 - c0) * jnp.power(1.0 - jnp.abs(cos_i), 5.0)
             t_ratio = 1.0 - r_ratio
 
-            # --- lobe coefficients (MtlBlinn_PathTracing.cpp:118-159) ---
+            # --- shared Fresnel-weighted lobe colors ---
             t_k = mtl["refraction"]
             r_k = mtl["reflection"]
             samp_refr = tuple(
@@ -788,38 +871,70 @@ def _make_kernel(meta, cfg, n_clusters: int):
                           r_k[k] + t_k[k] * r_ratio)
                 for k in range(3)
             )
-            coef_refr = _max3(samp_refr)
-            coef_refl = _max3(samp_refl)
-            coef_spec = _max3(mtl["specular"])
-            coef_diff = _max3(mtl["diffuse"])
-            coef_sum = jnp.maximum(
-                coef_refr + coef_refl + coef_spec + coef_diff, 1e-20
-            )
-            c_refr = coef_refr / coef_sum
-            c_refl = coef_refl / coef_sum
-            c_spec = coef_spec / coef_sum
-            c_diff = coef_diff / coef_sum
-            sum_refr = c_refr
-            sum_refl = sum_refr + c_refl
-            sum_spec = sum_refl + c_spec
             ksel = fold2(kb[0], kb[1],
                          jnp.full(shape, RNG.P_LOBE_SELECT, jnp.int32))
             select = draw_at(ksel[0], ksel[1], 0)
-            sel_refr = (select <= sum_refr) & (c_refr > 1e-6)
-            sel_refl = (~sel_refr) & (select < sum_refl) & (c_refl > 1e-6)
-            sel_spec = (
-                (~sel_refr) & (~sel_refl) & (select < sum_spec)
-                & (c_spec > 1e-6)
-            )
-            sel_diff = (
-                (~sel_refr) & (~sel_refl) & (~sel_spec) & (c_diff > 1e-6)
-            )
+
+            if integrator == "pathtrace":
+                # --- colorMax RR with pdf division
+                # (MtlBlinn_PathTracing.cpp:118-159) ---
+                coef_refr = _max3(samp_refr)
+                coef_refl = _max3(samp_refl)
+                coef_spec = _max3(mtl["specular"])
+                coef_diff = _max3(mtl["diffuse"])
+                coef_sum = jnp.maximum(
+                    coef_refr + coef_refl + coef_spec + coef_diff, 1e-20
+                )
+                c_refr = coef_refr / coef_sum
+                c_refl = coef_refl / coef_sum
+                c_spec = coef_spec / coef_sum
+                c_diff = coef_diff / coef_sum
+                sum_refr = c_refr
+                sum_refl = sum_refr + c_refl
+                sum_spec = sum_refl + c_spec
+                sel_refr = (select <= sum_refr) & (c_refr > 1e-6)
+                sel_refl = (
+                    (~sel_refr) & (select < sum_refl) & (c_refl > 1e-6)
+                )
+                sel_spec = (
+                    (~sel_refr) & (~sel_refl) & (select < sum_spec)
+                    & (c_spec > 1e-6)
+                )
+                sel_diff = (
+                    (~sel_refr) & (~sel_refl) & (~sel_spec) & (c_diff > 1e-6)
+                )
+            else:
+                # --- luma-weighted 4-way RR with kill=0.1, selection prob
+                # NOT divided out (RandomSelectMtl,
+                # MtlBlinn_PhotonMap.cpp:107-150) ---
+                from qaray_tpu.core.constants import (
+                    COLOR_LUMA_THRESHOLD as CLT,
+                    PHOTON_KILL,
+                )
+
+                luma_t = _luma3(samp_refr)
+                luma_r = _luma3(samp_refl)
+                luma_d = _luma3(mtl["diffuse"])
+                coef_t = luma_t
+                coef_r = coef_t + luma_r
+                coef_d = coef_r + luma_d
+                coef_sum = coef_d + PHOTON_KILL
+                sel_pt = select * coef_sum
+                sel_transmit = (sel_pt < coef_t) & (luma_t > CLT)
+                sel_reflect = (
+                    (~sel_transmit) & (sel_pt < coef_r) & (luma_r > CLT)
+                )
+                sel_diffuse = (
+                    (~sel_transmit) & (~sel_reflect) & (sel_pt < coef_d)
+                    & (luma_d > CLT)
+                )
 
             # --- direct + emission ---
             direct = _blinn_direct(
                 kinds, lkinds, lsoft, prim_ref, light_ref, cfg,
                 hits["hp"], n, v, mtl["diffuse"], mtl["specular"],
                 mtl["glossiness"], kb, mesh,
+                norm_power=2 if integrator == "pathtrace" else 1,
             )
             emit = mtl["emission"]
             for k in range(3):
@@ -830,67 +945,134 @@ def _make_kernel(meta, cfg, n_clusters: int):
             if bounce == max_bounce:
                 break
 
-            # --- continuation (MtlBlinn_PathTracing.cpp:176-297) ---
-            kh = fold2(kb[0], kb[1],
-                       jnp.full(shape, RNG.P_LOBE_SAMPLE, jnp.int32))
-            u0 = draw_at(kh[0], kh[1], 0)
-            u1 = draw_at(kh[0], kh[1], 1)
-            ct = jnp.sqrt(u0)
-            st = jnp.sqrt(jnp.maximum(0.0, 1.0 - u0))
-            phi = 2.0 * np.pi * u1
-            hemi = _norm3((st * jnp.cos(phi), st * jnp.sin(phi), ct),
-                          eps=1e-30)
-            hemi_world = _to_local_frame(y, hemi)
+            if integrator == "pathtrace":
+                # --- continuation (MtlBlinn_PathTracing.cpp:176-297) ---
+                kh = fold2(kb[0], kb[1],
+                           jnp.full(shape, RNG.P_LOBE_SAMPLE, jnp.int32))
+                u0 = draw_at(kh[0], kh[1], 0)
+                u1 = draw_at(kh[0], kh[1], 1)
+                ct = jnp.sqrt(u0)
+                st = jnp.sqrt(jnp.maximum(0.0, 1.0 - u0))
+                phi = 2.0 * np.pi * u1
+                hemi = _norm3((st * jnp.cos(phi), st * jnp.sin(phi), ct),
+                              eps=1e-30)
+                hemi_world = _to_local_frame(y, hemi)
 
-            refr_glossy = mtl["tgloss"] > 0.0
-            refl_glossy = mtl["rgloss"] > 0.0
+                refr_glossy = mtl["tgloss"] > 0.0
+                refl_glossy = mtl["rgloss"] > 0.0
 
-            refr_dir = _where3(refr_glossy, _neg3(hemi_world), t_dir)
-            cos_vh_t = jnp.maximum(0.0, _dot3(v, t_dir))
-            wt = _pow_safe(cos_vh_t, mtl["tgloss"])
-            refr_bxdf = tuple(
-                jnp.where(refr_glossy, samp_refr[k] * wt, samp_refr[k])
-                for k in range(3)
-            )
-            refl_dir = _where3(refl_glossy, hemi_world, r_dir)
-            cos_vh_r = jnp.maximum(0.0, _dot3(v, r_dir))
-            wr = _pow_safe(cos_vh_r, mtl["rgloss"])
-            refl_bxdf = tuple(
-                jnp.where(refl_glossy, samp_refl[k] * wr, samp_refl[k])
-                for k in range(3)
-            )
-            h = _norm3(_add3(v, _norm3(hemi_world, eps=1e-30)), eps=1e-30)
-            cos_nh = jnp.maximum(0.0, _dot3(n, h))
-            ws = _pow_safe(cos_nh, mtl["glossiness"])
-            spec_bxdf = tuple(mtl["specular"][k] * ws for k in range(3))
-            diff_bxdf = mtl["diffuse"]
+                refr_dir = _where3(refr_glossy, _neg3(hemi_world), t_dir)
+                cos_vh_t = jnp.maximum(0.0, _dot3(v, t_dir))
+                wt = _pow_safe(cos_vh_t, mtl["tgloss"])
+                refr_bxdf = tuple(
+                    jnp.where(refr_glossy, samp_refr[k] * wt, samp_refr[k])
+                    for k in range(3)
+                )
+                refl_dir = _where3(refl_glossy, hemi_world, r_dir)
+                cos_vh_r = jnp.maximum(0.0, _dot3(v, r_dir))
+                wr = _pow_safe(cos_vh_r, mtl["rgloss"])
+                refl_bxdf = tuple(
+                    jnp.where(refl_glossy, samp_refl[k] * wr, samp_refl[k])
+                    for k in range(3)
+                )
+                h = _norm3(_add3(v, _norm3(hemi_world, eps=1e-30)),
+                           eps=1e-30)
+                cos_nh = jnp.maximum(0.0, _dot3(n, h))
+                ws = _pow_safe(cos_nh, mtl["glossiness"])
+                spec_bxdf = tuple(mtl["specular"][k] * ws for k in range(3))
+                diff_bxdf = mtl["diffuse"]
 
-            go_refr = sel_refr
-            go_refl = sel_refl
-            go_spec = sel_spec & front
-            go_diff = sel_diff & front
+                go_refr = sel_refr
+                go_refl = sel_refl
+                go_spec = sel_spec & front
+                go_diff = sel_diff & front
 
-            new_dir = _where3(
-                go_refr, refr_dir,
-                _where3(go_refl, refl_dir,
-                        _where3(go_spec, hemi_world, hemi_world)),
-            )
-            pdf = jnp.where(
-                go_refr, c_refr,
-                jnp.where(go_refl, c_refl,
-                          jnp.where(go_spec, c_spec, c_diff)),
-            )
-            bxdf = _where3(
-                go_refr, refr_bxdf,
-                _where3(go_refl, refl_bxdf,
-                        _where3(go_spec, spec_bxdf, diff_bxdf)),
-            )
-            inv_pdf = 1.0 / jnp.maximum(pdf, 1e-20)
-            alive = alive & (go_refr | go_refl | go_spec | go_diff)
-            beta = tuple(
-                jnp.where(alive, beta[k] * bxdf[k] * inv_pdf, beta[k])
-                for k in range(3)
-            )
+                new_dir = _where3(
+                    go_refr, refr_dir,
+                    _where3(go_refl, refl_dir,
+                            _where3(go_spec, hemi_world, hemi_world)),
+                )
+                pdf = jnp.where(
+                    go_refr, c_refr,
+                    jnp.where(go_refl, c_refl,
+                              jnp.where(go_spec, c_spec, c_diff)),
+                )
+                bxdf = _where3(
+                    go_refr, refr_bxdf,
+                    _where3(go_refl, refl_bxdf,
+                            _where3(go_spec, spec_bxdf, diff_bxdf)),
+                )
+                inv_pdf = 1.0 / jnp.maximum(pdf, 1e-20)
+                alive = alive & (go_refr | go_refl | go_spec | go_diff)
+                beta = tuple(
+                    jnp.where(alive, beta[k] * bxdf[k] * inv_pdf, beta[k])
+                    for k in range(3)
+                )
+            else:
+                # --- continuation (MtlBlinn_PhotonMap::Sample*BxDF +
+                # ComputeSecondaryRay, MtlBlinn_PhotonMap.cpp:152-254) ---
+                ks2 = fold2(kb[0], kb[1],
+                            jnp.full(shape, RNG.P_LOBE_SAMPLE, jnp.int32))
+                if has_glossy:
+                    refl_dir = _glossy_jitter(
+                        r_dir, y, mtl["rgloss"],
+                        fold2(ks2[0], ks2[1],
+                              jnp.full(shape, 11, jnp.int32)),
+                        want_up=True, shape=shape,
+                    )
+                    refl_dir = _where3(mtl["rgloss"] > 0.0, refl_dir, r_dir)
+                    trans_dir = _glossy_jitter(
+                        t_dir, y, mtl["tgloss"],
+                        fold2(ks2[0], ks2[1],
+                              jnp.full(shape, 12, jnp.int32)),
+                        want_up=False, shape=shape,
+                    )
+                    trans_dir = _where3(mtl["tgloss"] > 0.0, trans_dir,
+                                        t_dir)
+                else:
+                    refl_dir = r_dir
+                    trans_dir = t_dir
+                kd2 = fold2(ks2[0], ks2[1], jnp.full(shape, 13, jnp.int32))
+                u0 = draw_at(kd2[0], kd2[1], 0)
+                u1 = draw_at(kd2[0], kd2[1], 1)
+                ct = jnp.sqrt(u0)
+                st = jnp.sqrt(jnp.maximum(0.0, 1.0 - u0))
+                phi = 2.0 * np.pi * u1
+                diff_dir = _to_local_frame(
+                    n, (st * jnp.cos(phi), st * jnp.sin(phi), ct)
+                )
+                h = _norm3(_add3(v, _norm3(diff_dir, eps=1e-30)), eps=1e-30)
+                cos_nh = jnp.maximum(0.0, _dot3(n, h))
+                ws = _pow_safe(cos_nh, mtl["glossiness"])
+                diff_bxdf = tuple(
+                    mtl["diffuse"][k] + mtl["specular"][k] * ws
+                    for k in range(3)
+                )
+
+                go_reflect = sel_reflect & (luma_r > CLT)
+                go_transmit = sel_transmit & (luma_t > CLT)
+                go_diffuse = (
+                    sel_diffuse & (~(has_dh > 0.5)) & (luma_d > CLT) & front
+                )
+                new_dir = _where3(
+                    go_transmit, trans_dir,
+                    _where3(go_diffuse, diff_dir, refl_dir),
+                )
+                weight = _where3(
+                    go_transmit, samp_refr,
+                    _where3(go_diffuse, diff_bxdf, samp_refl),
+                )
+                alive = alive & (go_reflect | go_transmit | go_diffuse)
+                beta = tuple(
+                    jnp.where(alive, beta[k] * weight[k], beta[k])
+                    for k in range(3)
+                )
+                # Diffuse sets hasDiffuseHit; reflect/transmit reset it
+                # (ComputeSecondaryRay default, MtlBlinn_PhotonMap.h:139).
+                has_dh = jnp.where(
+                    alive, jnp.where(go_diffuse, 1.0, 0.0), has_dh
+                )
+                pend = mtl["absorption"]
             p = hits["hp"]
             d = _norm3(new_dir, eps=1e-30)
 
@@ -920,6 +1102,7 @@ def _pack_tables(scene):
             mt.refraction,
             mt.glossiness[:, None], mt.reflection_glossiness[:, None],
             mt.refraction_glossiness[:, None], mt.ior[:, None],
+            mt.absorption,
         ],
         axis=1,
     )  # [M, MTL_COLS]

@@ -44,3 +44,25 @@ def profile(log_dir: str | None):
 
     with jax.profiler.trace(log_dir):
         yield
+
+
+def enable_compile_cache():
+    """Persistent XLA/Mosaic compile cache for production entry points.
+
+    The megakernel on many-light scenes takes minutes to compile through
+    the tunneled TPU runtime; the persistent cache makes that a one-time
+    cost per machine. QARAY_COMPILE_CACHE overrides the location, =0
+    disables."""
+    import os
+
+    import jax
+
+    d = os.environ.get(
+        "QARAY_COMPILE_CACHE", os.path.expanduser("~/.cache/qaray_jax")
+    )
+    if not d or d == "0":
+        return
+    os.makedirs(d, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

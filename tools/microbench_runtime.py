@@ -47,13 +47,18 @@ def main():
     def sync(x):
         return float(x.reshape(-1)[:1].astype(jnp.float32).min())
 
-    def best_of(fn, reps=5):
-        fn()  # warm
+    def best_of(fn, reps=3, inner=8):
+        """Pipelined: `inner` dispatches per host sync — a single
+        round-trip through the tunneled runtime costs ~25 ms, which would
+        otherwise dominate every sub-100ms kernel. Returns seconds per
+        call."""
+        sync(fn())  # warm/compile
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            fn()
-            best = min(best, time.perf_counter() - t0)
+            outs = [fn() for _ in range(inner)]
+            sync(outs[-1])
+            best = min(best, (time.perf_counter() - t0) / inner)
         return best
 
     # 1. XLA elementwise chain: N sequential multiply-adds over [M] f32.
@@ -70,8 +75,7 @@ def main():
             x = x * 1.0000001 + 0.5
         return x
 
-    sync(f_elem(x))
-    dt = best_of(lambda: sync(f_elem(x)))
+    dt = best_of(lambda: f_elem(x))
     results["xla_fused_elementwise_gbps"] = 2 * m * 4 / dt / 1e9
     results["xla_elementwise_note"] = (
         f"one fused chain of {chain} fma over {m} f32; bytes=read+write"
@@ -84,18 +88,15 @@ def main():
     def f_one(x):
         return x * 1.0000001 + 0.5
 
-    sync(f_one(x))
-
     def run_unfused():
         y = x
         for _ in range(chain):
             y = f_one(y)
-        sync(y)
+        return y
 
-    dt = best_of(run_unfused)
-    results["xla_per_dispatch_elementwise_gbps"] = (
-        chain * 2 * m * 4 / dt / 1e9
-    )
+    dt = best_of(run_unfused, inner=2)
+    dt = dt / chain  # per elementwise dispatch
+    results["xla_per_dispatch_elementwise_gbps"] = 2 * m * 4 / dt / 1e9
 
     # 2. Pallas VPU FMA loop: K iterations of an FMA on an [8,128] tile per
     #    grid step, G steps. flops = G * K * 1024 * 2.
@@ -121,8 +122,7 @@ def main():
             out_shape=jax.ShapeDtypeStruct((G * 8, 128), jnp.float32),
         )(xt)
 
-    sync(f_vpu(xt))
-    dt = best_of(lambda: sync(f_vpu(xt)))
+    dt = best_of(lambda: f_vpu(xt))
     results["pallas_vpu_fma_tflops"] = G * K * 1024 * 2 / dt / 1e12
 
     # 3. Per-lane gather: B random row indices into a [N, 8] table.
@@ -139,8 +139,7 @@ def main():
     def f_gather(table, idx):
         return table[idx]
 
-    sync(f_gather(table, idx))
-    dt = best_of(lambda: sync(f_gather(table, idx)))
+    dt = best_of(lambda: f_gather(table, idx))
     results["xla_random_gather_mrows_s"] = b / dt / 1e6
     results["xla_random_gather_gbps"] = b * 32 / dt / 1e9
 
@@ -153,8 +152,7 @@ def main():
     def f_mm(a, bmat):
         return jnp.dot(a, bmat, preferred_element_type=jnp.float32)
 
-    sync(f_mm(a, bmat))
-    dt = best_of(lambda: sync(f_mm(a, bmat)))
+    dt = best_of(lambda: f_mm(a, bmat))
     results["xla_mxu_bf16_tflops"] = 2 * mm**3 / dt / 1e12
 
     for k, v in results.items():
