@@ -23,16 +23,27 @@ bit-equal to the XLA rbg path).
 Semantics ported (file:line = reference):
   - camera basis / jitter / DoF   renderer.cpp:302-327, scene/scene.cpp:99-111
   - sphere/plane intersection     objects/objects.cpp:55-208 (bias 0.005)
+  - triangle mesh sweep           objects/objects.cpp:212-306 predicate as
+    the linear-in-t coefficients of ops/mesh_stream.py, Morton-clustered
+    in VMEM with block-level conservative cluster culling; smooth normals
+    + per-face material row folded during the sweep
   - MtlBlinn_PathTracing::Shade   materials/MtlBlinn_PathTracing.cpp:69-300
     (colorMax 4-way RR with pdf division, double-1/L direct quirk,
     cosine-lobe glossy sampling, no absorption)
+  - MtlBlinn_PhotonMap::Shade     materials/MtlBlinn_PhotonMap.cpp:65-254
+    (luma 4-way RR with kill=0.1, selection prob NOT divided out,
+    hasDiffuseHit gating, Beer back-face absorption, 4x4-attempt
+    UniformBall-quirk glossy jitter) — the reference's default MtlBlinn
   - GenLight family               lights/lights.cpp:39-144 (hard + adaptive
-    16->64 soft shadows with the in-loop-falloff recurrence, spot cone)
+    16->64 soft shadows with the in-loop-falloff recurrence, spot cone;
+    consecutive same-kind lights collapse into one in-kernel fori)
 
-Scope (engagement gated in integrators/engine.py): pathtrace integrator,
-analytic-only scenes, no live textures, no photon maps. Everything else
-stays on the wavefront engine. Backward: the custom_vjp re-runs the XLA
-engine's VJP (same draws under threefry => gradient of the same function).
+Scope (engagement gated in integrators/engine.py use_pathtrace_mega):
+pathtrace or photonmap integrator; analytic prims plus world-baked meshes
+up to 16k triangles / 8 distinct face materials; no live textures; no
+photon-map gathering. Everything else stays on the wavefront engine.
+Backward: the custom_vjp re-runs the XLA engine's VJP (same draws under
+threefry => gradient of the same function).
 """
 
 from functools import partial

@@ -30,6 +30,9 @@ GOLDEN_CORE_SCENES = {
     "example_project3_box.xml",
     "trc_mtl_glass.xml",
 }
+# (The photon-map golden and the 64-spp integrator variants proved too
+# heavy for the <10-min warm budget on this 2-core host and live in the
+# slow / default tiers instead.)
 
 CASES = [
     # (scene, spp, block-mean tolerance)
@@ -133,7 +136,7 @@ def test_feature_scene_golden(name, spp, tol):
     assert diff.mean() < tol, f"{name} diff {diff.mean():.4f}"
 
 
-@pytest.mark.golden_core
+@pytest.mark.slow
 def test_photon_map_golden(inputs_dir):
     """Full photon-mapping pipeline vs the reference with -use-photon-map:
     emission + RR scatter + caustics gating + quadratic-filter gathering.
@@ -182,10 +185,7 @@ VARIANT_CASES = [
     # reference algorithms, not just smoke-tested. Tolerances reflect the
     # documented estimator deviation (branching recursion re-expressed as
     # luma RR — equal in expectation) plus MC noise at 64spp.
-    pytest.param(
-        "example_project2_blinn.xml", 64, "basic", 0.02,
-        marks=pytest.mark.golden_core,
-    ),
+    ("example_project2_blinn.xml", 64, "basic", 0.02),
     ("example_project3_box.xml", 64, "basic", 0.025),
     ("example_project3_box.xml", 64, "mcgi", 0.03),
 ]
