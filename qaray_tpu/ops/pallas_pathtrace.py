@@ -60,7 +60,7 @@ from qaray_tpu.core.constants import (
     PLANE_EPS,
     TOTAL_REFLECTION_THRESHOLD,
 )
-from qaray_tpu.core.krng import U32, draw_at, fold2
+from qaray_tpu.core.krng import draw_at, fold2
 from qaray_tpu.core import rng as RNG
 from qaray_tpu.scene.arrays import (
     KIND_SPHERE,

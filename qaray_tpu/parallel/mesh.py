@@ -13,14 +13,12 @@ hosts — mesh axes ride ICI within a host and DCN across; nothing else
 changes, which is the point of the design.
 """
 
-from functools import partial
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from qaray_tpu.integrators.engine import IntegratorConfig, render_batch
-from qaray_tpu.scene.arrays import SceneArrays, SceneMeta
+from qaray_tpu.integrators.engine import render_batch
+from qaray_tpu.scene.arrays import SceneArrays
 
 
 def make_render_mesh(devices=None) -> Mesh:

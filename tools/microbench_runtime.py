@@ -23,7 +23,6 @@ import argparse
 import json
 import sys
 import time
-from functools import partial
 
 import numpy as np
 
