@@ -183,6 +183,7 @@ class Renderer:
             s = s_start
             while s < p.spp_min:
                 if self.stop_flag:
+                    self._flush()
                     return fb
                 k = min(pack, p.spp_min - s)
                 self._render_packed(cfg, all_ids, list(range(s, s + k)),
@@ -193,6 +194,7 @@ class Renderer:
         else:
             for s in range(s_start, p.spp_min):
                 if self.stop_flag:
+                    self._flush()
                     return fb
                 self._render_round(cfg, all_ids, s, base_key,
                                    record_depth=(s == 0))
@@ -200,9 +202,11 @@ class Renderer:
                 self._maybe_checkpoint(s + 1)
 
         # Phase 2: adaptive refinement until spp_max / convergence,
-        # compacting to the unconverged active set each round.
+        # compacting to the unconverged active set each round. The
+        # convergence read requires the pipeline drained.
         s = p.spp_min
         while s < p.spp_max:
+            self._flush()
             active = all_ids[~fb.converged(p.threshold) & (fb.count == s)]
             if active.size == 0 or self.stop_flag:
                 break
@@ -213,6 +217,7 @@ class Renderer:
                     break
             self._report(s)
 
+        self._flush()
         elapsed = time.time() - start
         self._last_elapsed = elapsed
         fb.finalize(p.use_srgb, p.spp_max)
@@ -254,7 +259,15 @@ class Renderer:
 
     def _render_round(self, cfg, pixel_ids: np.ndarray, sample_idx: int,
                       base_key, record_depth: bool):
-        """One sample for each pixel id, chunked to the device batch size."""
+        """One sample for each pixel id, chunked to the device batch size.
+
+        Dispatches are PIPELINED one deep: the previous chunk's outputs are
+        fetched (and folded into the framebuffer, in dispatch order — the
+        Welford recurrence is order-sensitive) only after the next chunk is
+        enqueued, keeping the device busy across the tunnel's dispatch
+        round-trip. `_retire_inflight` drains the tail; callers that need
+        the framebuffer up to date (adaptive compaction, checkpoints,
+        cancellation exits) flush first via `_flush`."""
         meta = self.meta
         w = meta.img_width
         chunk = self._effective_batch()
@@ -271,13 +284,25 @@ class Renderer:
                 self.scene_arrays, meta, cfg, px, py, sample_ids, base_key,
                 self.photon_maps, want_aux=self._want_aux(),
             )
-            radiance, t0 = out[0], out[1]
-            radiance = np.asarray(radiance)[:n]
-            self.fb.accumulate(ids, radiance)
-            if record_depth:
-                self.fb.set_depth(ids, np.asarray(t0)[:n])
-            if len(out) > 2:
-                self.fb.mark_irradiance(ids, np.asarray(out[2])[:n])
+            pending = (ids, out, record_depth)
+            self._retire_inflight()
+            self._inflight = pending
+
+    def _retire_inflight(self):
+        """Fetch + accumulate the one in-flight dispatch, if any."""
+        if getattr(self, "_inflight", None) is None:
+            return
+        ids, out, record_depth = self._inflight
+        self._inflight = None
+        n = ids.size
+        radiance = np.asarray(out[0])[:n]
+        self.fb.accumulate(ids, radiance)
+        if record_depth:
+            self.fb.set_depth(ids, np.asarray(out[1])[:n])
+        if len(out) > 2:
+            self.fb.mark_irradiance(ids, np.asarray(out[2])[:n])
+
+    _flush = _retire_inflight
 
     def load_checkpoint(self, path: str):
         """Resume a render from a saved framebuffer state."""
@@ -289,6 +314,7 @@ class Renderer:
     def _maybe_checkpoint(self, spp_done: int):
         ce = self.param.checkpoint_every
         if ce and spp_done % ce == 0:
+            self._flush()
             self.fb.save_state(self.param.checkpoint_path)
 
     def _report(self, spp_done: int):
@@ -297,6 +323,7 @@ class Renderer:
         pe = self.param.progressive_every
         if pe and spp_done % pe == 0 and spp_done < self.param.spp_max:
             # Progressive preview (the GUI renderer's live-view equivalent).
+            self._flush()
             fb = self.fb
             import copy
 
