@@ -722,15 +722,45 @@ render_batch_xla = partial(jax.jit, static_argnames=("meta", "cfg", "want_aux"))
 )
 
 
-def use_pathtrace_mega(meta: SceneMeta, cfg: IntegratorConfig) -> bool:
+# Combined photon-table row budget (global + caustics) for in-kernel
+# gathering: 32k rows = 2 MB of VMEM photon tables. Reference defaults are
+# 10k + 1k; -photon-map-size runs far above this fall back to the exact XLA
+# streamed gather.
+MEGA_PHOTON_ROW_BUDGET = 32768
+
+
+def _mega_photon_ok(cfg: IntegratorConfig, photon_maps) -> bool:
+    """May the megakernel serve this photon-gathering config?"""
+    if not cfg.use_photon_map:
+        return True  # no gathering requested: maps are irrelevant
+    if cfg.integrator != "photonmap" or photon_maps is None:
+        return False
+    gmap, cmap = photon_maps[0], photon_maps[1]
+    if gmap.ctable is None or cmap.ctable is None:
+        return False
+    return gmap.ctable.shape[0] + cmap.ctable.shape[0] <= MEGA_PHOTON_ROW_BUDGET
+
+
+def use_pathtrace_mega(meta: SceneMeta, cfg: IntegratorConfig,
+                       photon_maps=None) -> bool:
     """Engagement gate for the fused Pallas pathtrace megakernel
-    (ops/pallas_pathtrace.py): pathtrace on analytic-only untextured scenes.
+    (ops/pallas_pathtrace.py): pathtrace/photonmap on analytic-only
+    untextured scenes; photon-map gathering rides along when the clustered
+    maps fit the VMEM table budget (escalation for cap-exceeded lanes is
+    the renderer's job).
 
     Default on TPU; QARAY_MEGAKERNEL=1 forces it elsewhere (interpret mode,
     used by the CPU parity tests); QARAY_NO_MEGAKERNEL disables."""
     import os
 
     if os.environ.get("QARAY_NO_MEGAKERNEL"):
+        return False
+    if not jax.config.jax_threefry_partitionable:
+        # core/krng.py reimplements the PARTITIONABLE threefry path; with
+        # the flag off, the engine's jax.random draws change while the
+        # kernel's do not, silently breaking the documented bit-parity
+        # (and mega_render's backward would differentiate a different
+        # estimator). Conservatively keep everything on the XLA engine.
         return False
     ok = (
         cfg.integrator in ("pathtrace", "photonmap")
@@ -741,7 +771,7 @@ def use_pathtrace_mega(meta: SceneMeta, cfg: IntegratorConfig) -> bool:
         and not meta.has_mtl_textures
         and not meta.has_bg_texture
         and not meta.has_env_texture
-        and not cfg.use_photon_map
+        and _mega_photon_ok(cfg, photon_maps)
     )
     if not ok:
         return False
@@ -764,13 +794,26 @@ def render_batch(scene: SceneArrays, meta: SceneMeta, cfg: IntegratorConfig,
     Pathtrace on analytic untextured scenes routes to the single-dispatch
     Pallas megakernel (bit-parity with the XLA path under threefry keys —
     tests/test_megakernel.py); everything else runs the wavefront engine.
+    With photon gathering on the megakernel path, the returned tuple gains
+    a final per-lane escalation flag: lanes whose gather saw more than
+    GATHER_K in-radius photons need the exact XLA top-k estimate — the
+    renderer re-renders exactly those lanes on the wavefront path (same
+    threefry draws => same paths).
     """
-    if use_pathtrace_mega(meta, cfg):
+    if use_pathtrace_mega(meta, cfg, photon_maps):
         from qaray_tpu.ops.pallas_pathtrace import mega_render
 
         kd = jax.random.key_data(base_key)
         impl = "rbg" if kd.shape[-1] == 4 else "threefry2x32"
         interpret = jax.default_backend() != "tpu"
+        if cfg.use_photon_map:
+            radiance, t0, irr0, esc = mega_render(
+                scene, meta, cfg, impl, interpret, px, py, sample_ids, kd,
+                photon_maps,
+            )
+            if want_aux:
+                return radiance, t0, irr0, esc
+            return radiance, t0, esc
         radiance, t0 = mega_render(
             scene, meta, cfg, impl, interpret, px, py, sample_ids, kd
         )

@@ -105,8 +105,8 @@ def build_tiles(tri_v: np.ndarray, cluster: int = CLUSTER) -> TiledMesh:
 
     nc = fp // cluster
     # Vectorized cluster AABBs: pad the sorted verts to the padded row
-    # count with the first vertex repeated (padding rows never hit; their
-    # only effect here is keeping the parent cluster box non-degenerate).
+    # count with the LAST triangle repeated (padding rows never hit; the
+    # repeats only keep a partially-padded tail cluster's box valid).
     pad_rows = fp - num
     padded = np.concatenate(
         [sorted_v]
@@ -116,6 +116,11 @@ def build_tiles(tri_v: np.ndarray, cluster: int = CLUSTER) -> TiledMesh:
     cb = np.concatenate(
         [padded.min(axis=1), padded.max(axis=1)], axis=1
     ).astype(np.float32)
+    # Clusters made ENTIRELY of padding get an inverted never-hit box so
+    # the packet cull rejects them outright.
+    all_pad = np.arange(nc) * cluster >= num
+    cb[all_pad, 0:3] = 1.0
+    cb[all_pad, 3:6] = -1.0
     return TiledMesh(
         coeff=stream.coeff,
         const=stream.const,

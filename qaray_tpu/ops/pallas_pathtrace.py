@@ -750,7 +750,8 @@ def _glossy_jitter(center, y_axis, gloss, keys, want_up, shape):
 # ---------------------------------------------------------------------------
 
 
-def _make_kernel(meta, cfg, n_clusters: int):
+def _make_kernel(meta, cfg, n_clusters: int, pg_clusters: int = 0,
+                 pc_clusters: int = 0, use_photon: bool = False):
     kinds = meta.analytic_kinds
     mtls = meta.analytic_mtls
     mesh_mtls = meta.mesh_mega_mtls if meta.mesh_mega else ()
@@ -765,7 +766,9 @@ def _make_kernel(meta, cfg, n_clusters: int):
 
     def kernel(prim_ref, mtl_ref, light_ref, cam_ref, key_ref,
                mc16_ref, mattr_ref, mcb_ref,
-               px_ref, py_ref, sid_ref, r_out, g_out, b_out, t0_out):
+               gtab_ref, gcb_ref, ctab_ref, ccb_ref, pr2_ref,
+               px_ref, py_ref, sid_ref, r_out, g_out, b_out, t0_out,
+               *photon_outs):
         mesh = (
             (mc16_ref, mattr_ref, mcb_ref, n_clusters) if has_mesh else None
         )
@@ -818,6 +821,20 @@ def _make_kernel(meta, cfg, n_clusters: int):
         # absorption (ComputeSecondaryRay, MtlBlinn_PhotonMap.cpp:246-249).
         has_dh = jnp.zeros(shape, jnp.float32)
         pend = (jnp.zeros(shape), jnp.zeros(shape), jnp.zeros(shape))
+        # Photon gathering: escalation flag (any vertex saw > GATHER_K
+        # photons in radius -> the host re-renders the lane on the exact
+        # XLA top-k path) + the irradiance-computation debug plane + the
+        # lane's (at most one) global-map gather record.
+        esc = jnp.zeros(shape, jnp.float32)
+        irr0 = jnp.zeros(shape, jnp.float32)
+        zero3 = (jnp.zeros(shape), jnp.zeros(shape), jnp.zeros(shape))
+        rec_p = zero3
+        rec_n = zero3
+        rec_v = zero3
+        rec_bd = zero3
+        rec_bs = zero3
+        rec_g = jnp.zeros(shape, jnp.float32)
+        rec_valid = jnp.zeros(shape, jnp.float32)
 
         for bounce in range(max_bounce + 1):
             hits = _closest_hit(kinds, mtls, prim_ref, mtl_ref, p, d,
@@ -952,6 +969,76 @@ def _make_kernel(meta, cfg, n_clusters: int):
                 radiance[k] = radiance[k] + jnp.where(
                     alive, beta[k] * (emit[k] + direct[k]), 0.0
                 )
+
+            if use_photon:
+                # Photon / caustics gathering (MtlBlinn_PhotonMap.cpp:
+                # 344-368, 420-458): diffuse-selected vertices gather the
+                # caustics map always; later-than-first diffuse vertices
+                # additionally gather the global map.
+                #
+                # Caustics (small map, default 1k photons): cluster-culled
+                # sweep IN-kernel with r_eff = r — exact
+                # (= photon/gather.py) whenever at most GATHER_K photons
+                # lie in radius; denser lanes raise the escalation flag.
+                #
+                # Global (10k default): D-after-D vertices are spatially
+                # incoherent, so an in-kernel sweep degenerates to
+                # sweep-everything per block. A path dies at its global
+                # gather (go_diffuse needs ~hasDiffuseHit), so each lane
+                # has AT MOST ONE global gather: capture its 17-field
+                # record instead, and let the host wrapper Morton-sort the
+                # records and sweep them with tight blocks
+                # (ops/pallas_photon.gather_apply).
+                from qaray_tpu.ops.pallas_photon import photon_sweep
+                from qaray_tpu.photon.cluster import GATHER_K
+
+                diffuse_ok = luma_d > CLT
+                do_c = alive & sel_diffuse & diffuse_ok
+                do_p = do_c & (has_dh > 0.5)
+                if bounce == 0:
+                    irr0 = jnp.where(alive & (_luma3(mtl["diffuse"]) > 0.0),
+                                     1.0, 0.0)
+                if pg_clusters:
+                    rec_p = _where3(do_p, hits["hp"], rec_p)
+                    rec_n = _where3(do_p, n, rec_n)
+                    rec_v = _where3(do_p, v, rec_v)
+                    rec_bd = _where3(
+                        do_p, _mul3(beta, mtl["diffuse"]), rec_bd
+                    )
+                    rec_bs = _where3(
+                        do_p, _mul3(beta, mtl["specular"]), rec_bs
+                    )
+                    rec_g = jnp.where(do_p, mtl["glossiness"], rec_g)
+                    rec_valid = jnp.maximum(
+                        rec_valid, jnp.where(do_p, 1.0, 0.0)
+                    )
+                if pc_clusters:
+                    sums, dirs, cnt = photon_sweep(
+                        ctab_ref, ccb_ref, pc_clusters, pr2_ref[0, 1],
+                        hits["hp"], do_c,
+                    )
+                    inv_area = 1.0 / (jnp.pi * 0.5 * pr2_ref[0, 1])
+                    irrad = _scale3(sums, inv_area)
+                    # gather_blinn (photon/gather.py): L = -normalize(dir),
+                    # H = norm(V+L), I*cosNL*(diffuse + spec*cosNH^gloss),
+                    # zeroed below the luma threshold.
+                    l_dir = _neg3(_norm3(dirs, eps=1e-30))
+                    hh = _norm3(_add3(v, l_dir), eps=1e-30)
+                    cos_nl = jnp.maximum(0.0, _dot3(n, l_dir))
+                    cos_nh = jnp.maximum(0.0, _dot3(n, hh))
+                    spec_w = _pow_safe(cos_nh, mtl["glossiness"])
+                    gate = do_c & (_luma3(irrad) > CLT)
+                    for k in range(3):
+                        c_k = irrad[k] * cos_nl * (
+                            mtl["diffuse"][k] + mtl["specular"][k] * spec_w
+                        )
+                        radiance[k] = radiance[k] + jnp.where(
+                            gate, beta[k] * c_k, 0.0
+                        )
+                    esc = jnp.maximum(
+                        esc,
+                        jnp.where(do_c & (cnt > float(GATHER_K)), 1.0, 0.0),
+                    )
 
             if bounce == max_bounce:
                 break
@@ -1091,6 +1178,17 @@ def _make_kernel(meta, cfg, n_clusters: int):
         g_out[:] = radiance[1]
         b_out[:] = radiance[2]
         t0_out[:] = t0
+        if use_photon:
+            irr0_out, esc_out = photon_outs[:2]
+            irr0_out[:] = irr0
+            esc_out[:] = esc
+            if pg_clusters:
+                rec_flat = (
+                    list(rec_p) + list(rec_n) + list(rec_v)
+                    + list(rec_bd) + list(rec_bs) + [rec_g, rec_valid]
+                )
+                for ref, val in zip(photon_outs[2:], rec_flat):
+                    ref[:] = val
 
     return kernel
 
@@ -1138,8 +1236,13 @@ def _pack_tables(scene):
 
 @partial(jax.jit, static_argnames=("meta", "cfg", "interpret"))
 def _mega_raw(scene, meta, cfg, px, py, sample_ids, key_words,
-              interpret: bool = False):
-    """Forward-only megakernel dispatch. Returns (radiance [B,3], t0 [B])."""
+              photon_maps=None, interpret: bool = False):
+    """Forward-only megakernel dispatch.
+
+    Returns (radiance [B,3], t0 [B]); with photon gathering engaged
+    (cfg.use_photon_map + clustered maps) additionally the irradiance-plane
+    flag [B] and the gather-escalation flag [B] (both bool).
+    """
     num = px.shape[0]
     block = BLOCK_ROWS * LANES
     pad = (-num) % block
@@ -1166,26 +1269,67 @@ def _mega_raw(scene, meta, cfg, px, py, sample_ids, key_words,
         n_clusters = 0
     key2 = key_words.reshape(1, 2).astype(jnp.uint32)
 
+    from qaray_tpu.photon.cluster import PHOTON_CLUSTER
+
+    use_photon = (
+        cfg.use_photon_map and cfg.integrator == "photonmap"
+        and photon_maps is not None
+    )
+    if use_photon:
+        gmap, cmap = photon_maps[0], photon_maps[1]
+        gtab, gcb = gmap.ctable, gmap.cbounds
+        ctab, ccb = cmap.ctable, cmap.cbounds
+        pg_clusters = gtab.shape[0] // PHOTON_CLUSTER
+        pc_clusters = ctab.shape[0] // PHOTON_CLUSTER
+        pr2 = jnp.stack(
+            [gmap.radius * gmap.radius, cmap.radius * cmap.radius]
+        ).reshape(1, 2).astype(jnp.float32)
+    else:
+        gtab = ctab = jnp.zeros((PHOTON_CLUSTER, 16), jnp.float32)
+        gcb = ccb = jnp.zeros((1, 8), jnp.float32)
+        pr2 = jnp.ones((1, 2), jnp.float32)
+        pg_clusters = pc_clusters = 0
+
     block_spec = pl.BlockSpec(
         (BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     small = pl.BlockSpec(memory_space=pltpu.VMEM)
     f32s = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+    n_rec = 17 if (use_photon and pg_clusters) else 0
+    n_out = (6 + n_rec) if use_photon else 4
 
-    r, g, b, t0 = pl.pallas_call(
-        _make_kernel(meta, cfg, n_clusters),
+    outs = pl.pallas_call(
+        _make_kernel(meta, cfg, n_clusters, pg_clusters, pc_clusters,
+                     use_photon),
         grid=(grid,),
-        in_specs=[small] * 8 + [block_spec] * 3,
-        out_specs=(block_spec,) * 4,
-        out_shape=(f32s, f32s, f32s, f32s),
+        in_specs=[small] * 13 + [block_spec] * 3,
+        out_specs=(block_spec,) * n_out,
+        out_shape=(f32s,) * n_out,
         interpret=interpret,
     )(prim_tab, mtl_tab, light_tab, cam_tab, key2, mc16, mattr, mcb,
+      gtab, gcb, ctab, ccb, pr2,
       shape2(px_p), shape2(py_p), shape2(sid_p))
 
+    r, g, b, t0 = outs[:4]
     radiance = jnp.stack(
         [r.reshape(-1)[:num], g.reshape(-1)[:num], b.reshape(-1)[:num]],
         axis=-1,
     )
+    if use_photon:
+        irr0 = outs[4].reshape(-1)[:num] > 0.5
+        esc = outs[5].reshape(-1)[:num] > 0.5
+        if n_rec:
+            # Global-map gathers: Morton-sorted tight-block sweep over the
+            # per-lane records the kernel captured.
+            from qaray_tpu.ops.pallas_photon import gather_apply
+
+            rec = [o.reshape(-1)[:num] for o in outs[6:]]
+            contrib, esc_g = gather_apply(
+                photon_maps[0], rec, interpret=interpret
+            )
+            radiance = radiance + contrib
+            esc = esc | esc_g
+        return radiance, t0.reshape(-1)[:num], irr0, esc
     return radiance, t0.reshape(-1)[:num]
 
 
@@ -1196,7 +1340,7 @@ def _mega_raw(scene, meta, cfg, px, py, sample_ids, key_words,
 
 @partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
 def mega_render(scene, meta, cfg, key_impl, interpret, px, py, sample_ids,
-                key_words):
+                key_words, photon_maps=None):
     """Megakernel render with gradients.
 
     Forward: the fused Pallas kernel. Backward: jax.vjp of the XLA wavefront
@@ -1206,9 +1350,12 @@ def mega_render(scene, meta, cfg, key_impl, interpret, px, py, sample_ids,
     equally-unbiased estimator (documented deviation).
     key_impl: static 'threefry2x32' | 'rbg' (reconstructs the typed key for
     the backward engine call). interpret: static (CPU tests).
+    photon_maps: clustered (global, caustics) PhotonMapData for in-kernel
+    gathering (photonmap integrator + cfg.use_photon_map); treated as
+    constants by the backward (no map cotangents).
     """
     return _mega_raw(scene, meta, cfg, px, py, sample_ids,
-                     _fold_words(key_words), interpret)
+                     _fold_words(key_words), photon_maps, interpret)
 
 
 def _fold_words(key_words):
@@ -1221,14 +1368,14 @@ def _fold_words(key_words):
 
 
 def _mega_fwd(scene, meta, cfg, key_impl, interpret, px, py, sample_ids,
-              key_words):
+              key_words, photon_maps=None):
     out = _mega_raw(scene, meta, cfg, px, py, sample_ids,
-                    _fold_words(key_words), interpret)
-    return out, (scene, px, py, sample_ids, key_words)
+                    _fold_words(key_words), photon_maps, interpret)
+    return out, (scene, px, py, sample_ids, key_words, photon_maps)
 
 
 def _mega_bwd(meta, cfg, key_impl, interpret, res, cts):
-    scene, px, py, sample_ids, key_words = res
+    scene, px, py, sample_ids, key_words, photon_maps = res
     from qaray_tpu.integrators.engine import render_batch_xla_impl
 
     base_key = jax.random.wrap_key_data(key_words, impl=key_impl)
@@ -1239,12 +1386,16 @@ def _mega_bwd(meta, cfg, key_impl, interpret, res, cts):
 
     def f(s):
         return render_batch_xla_impl(
-            s, meta_x, cfg, px, py, sample_ids, base_key
+            s, meta_x, cfg, px, py, sample_ids, base_key,
+            photon_maps=photon_maps,
         )
 
     _, vjp = jax.vjp(f, scene)
-    (gscene,) = vjp(cts)
-    return (gscene, None, None, None, None)
+    # The forward's photon outputs (irradiance plane, escalation flag) are
+    # boolean diagnostics with no XLA counterpart: only the (radiance, t0)
+    # cotangents feed the engine VJP.
+    (gscene,) = vjp((cts[0], cts[1]))
+    return (gscene, None, None, None, None, None)
 
 
 mega_render.defvjp(_mega_fwd, _mega_bwd)

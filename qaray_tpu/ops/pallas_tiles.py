@@ -22,9 +22,14 @@ interval-arithmetic proof in ops/mesh_tiles._packet_cull), so once
 entry_lo exceeds every lane's best t no later cluster can improve and the
 packet stops. Any-hit stops when every in-budget lane is occluded.
 
-Semantics identical to tiled_sweep (equivalence-tested); winners feed the
-same exact reference re-test (exact_winner_rows). Reference loop replaced:
-TriObj::TraceBVHNode, objects/objects.cpp:324-419.
+Winner (row1/t1) semantics identical to tiled_sweep (equivalence-tested);
+winners feed the same exact reference re-test (exact_winner_rows). The
+RUNNER-UP (row2/t2) may deviate: early termination stops once no later
+cluster can beat the best t, so a runner-up living in a never-visited
+cluster is missed — if the exact re-test then rejects the winner, the
+fallback can differ from the XLA path on that lane (rare near-edge
+speckle, bounded by the equivalence tests' outlier budget). Reference
+loop replaced: TriObj::TraceBVHNode, objects/objects.cpp:324-419.
 """
 
 from functools import partial

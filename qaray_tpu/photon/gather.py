@@ -34,6 +34,11 @@ class PhotonMapData(NamedTuple):
     direction: jnp.ndarray  # [P, 3] incoming photon direction
     radius: jnp.ndarray  # [] gather radius
     valid: jnp.ndarray  # [P] bool (padding mask)
+    # Device-resident gather tables (photon/cluster.py): Morton-clustered
+    # photon rows + cluster AABBs for the Pallas cluster-culled sweep.
+    # None on maps that only feed the exact XLA gather paths below.
+    ctable: jnp.ndarray = None  # [Fp, 16]
+    cbounds: jnp.ndarray = None  # [C, 8]
 
 
 def estimate_irradiance(

@@ -97,10 +97,15 @@ class Renderer:
         self.fb = FrameBuffer(self.meta.img_width, self.meta.img_height)
         if self.param.use_photon_map:
             from qaray_tpu.photon.build import build_photon_maps, save_photon_map
+            from qaray_tpu.photon.cluster import cluster_photon_map
 
-            self.photon_maps = build_photon_maps(
+            gmap, cmap = build_photon_maps(
                 self.scene_arrays, self.meta, self.param
             )
+            # Morton-clustered device tables for the in-kernel Pallas gather
+            # (ops/pallas_photon.py); the exact XLA paths ignore them.
+            self.photon_maps = (cluster_photon_map(gmap),
+                                cluster_photon_map(cmap))
             # Reference dumps both maps for the viz tool
             # (renderer.cpp:204-209, 284-289); same files, same layout.
             save_photon_map(self.photon_maps[0], "photonmap.dat")
@@ -166,6 +171,16 @@ class Renderer:
         w, h = meta.img_width, meta.img_height
         num_pixels = w * h
         base_key = jax.random.key(p.seed, impl=p.rng_impl)
+        self._base_key = base_key
+        # Photon-gathering megakernel dispatches append a per-lane
+        # escalation flag (gather saw > GATHER_K in-radius photons); those
+        # lanes are re-rendered on the exact XLA top-k path at retire time.
+        from qaray_tpu.integrators.engine import use_pathtrace_mega
+
+        self._mega_photon = bool(
+            cfg.use_photon_map
+            and use_pathtrace_mega(meta, cfg, self.photon_maps)
+        )
 
         all_ids = np.arange(num_pixels, dtype=np.int32)
         start = time.time()
@@ -247,12 +262,14 @@ class Renderer:
             want_aux=self._want_aux(),
         )
         radiance, t0 = out[0], out[1]
-        radiance = np.asarray(radiance)[:n].reshape(num_samples, num_pixels, 3)
+        radiance = np.asarray(radiance)[:n]
+        radiance = self._fix_escalated(ids_tiled[:n], sids[:n], radiance, out)
+        radiance = radiance.reshape(num_samples, num_pixels, 3)
         for k in range(num_samples):
             self.fb.accumulate(pixel_ids, radiance[k])
         if record_depth:
             self.fb.set_depth(pixel_ids, np.asarray(t0)[:num_pixels])
-        if len(out) > 2:
+        if self._want_aux() and len(out) > 2:
             self.fb.mark_irradiance(
                 ids_tiled, np.asarray(out[2])[:n]
             )
@@ -284,22 +301,61 @@ class Renderer:
                 self.scene_arrays, meta, cfg, px, py, sample_ids, base_key,
                 self.photon_maps, want_aux=self._want_aux(),
             )
-            pending = (ids, out, record_depth)
+            pending = (ids, sample_idx, out, record_depth)
             self._retire_inflight()
             self._inflight = pending
+
+    def _fix_escalated(self, pixel_ids, sids, radiance, out):
+        """Re-render gather-escalated lanes on the exact XLA path.
+
+        The megakernel gathers with r_eff = radius, exact while at most
+        GATHER_K photons lie in radius (photon/cluster.py); lanes over the
+        cap carry the reference's radius-shrink semantics instead
+        (EstimateIrradiance<100>) — recompute exactly those lanes with the
+        wavefront engine (same threefry draws => same paths) and splice
+        their radiance in.
+        """
+        if not getattr(self, "_mega_photon", False) or len(out) < 3:
+            return radiance
+        esc = np.asarray(out[-1])[: radiance.shape[0]]
+        idx = np.nonzero(esc)[0]
+        if idx.size == 0:
+            return radiance
+        from qaray_tpu.integrators.engine import render_batch_xla
+
+        w = self.meta.img_width
+        n = idx.size
+        padded = _pad_to_bucket(n)
+        epx = np.zeros(padded, np.int32)
+        epy = np.zeros(padded, np.int32)
+        esid = np.zeros(padded, np.int32)
+        epx[:n] = pixel_ids[idx] % w
+        epy[:n] = pixel_ids[idx] // w
+        esid[:n] = sids[idx] if np.ndim(sids) else sids
+        fix = render_batch_xla(
+            self.scene_arrays, self.meta, self.integrator_config(),
+            jax.numpy.asarray(epx), jax.numpy.asarray(epy),
+            jax.numpy.asarray(esid), self._base_key, self.photon_maps,
+        )
+        radiance = np.array(radiance)
+        radiance[idx] = np.asarray(fix[0])[:n]
+        return radiance
 
     def _retire_inflight(self):
         """Fetch + accumulate the one in-flight dispatch, if any."""
         if getattr(self, "_inflight", None) is None:
             return
-        ids, out, record_depth = self._inflight
+        ids, sample_idx, out, record_depth = self._inflight
         self._inflight = None
         n = ids.size
         radiance = np.asarray(out[0])[:n]
+        radiance = self._fix_escalated(
+            ids, np.full(n, sample_idx, np.int32), radiance, out
+        )
         self.fb.accumulate(ids, radiance)
         if record_depth:
             self.fb.set_depth(ids, np.asarray(out[1])[:n])
-        if len(out) > 2:
+        if self._want_aux() and len(out) > 2:
             self.fb.mark_irradiance(ids, np.asarray(out[2])[:n])
 
     _flush = _retire_inflight
@@ -319,6 +375,10 @@ class Renderer:
 
     def _report(self, spp_done: int):
         if self._progress_cb is not None:
+            # Flush the in-flight dispatch so external observers (the
+            # preview server's snapshots, probe endpoints) see the
+            # framebuffer at a consistent round boundary.
+            self._flush()
             self._progress_cb(spp_done, self.param.spp_max)
         pe = self.param.progressive_every
         if pe and spp_done % pe == 0 and spp_done < self.param.spp_max:

@@ -242,3 +242,90 @@ def test_mega_parity_xmas_many_lights():
         "/root/reference/inputs/trc_scene_xmas.xml", integrator="photonmap",
         spp_lanes=1, res=(64, 48), max_bounce=3, outlier_frac=6e-3,
     )
+
+
+def _small_photon_maps(arrays, meta):
+    from qaray_tpu.photon.build import _build_one_map
+    from qaray_tpu.photon.cluster import cluster_photon_map
+    from qaray_tpu.renderer import RendererParam
+
+    param = RendererParam()
+    gmap = _build_one_map(arrays, meta, param, 400, 6, 0.2,
+                          caustics=False, seed=1)
+    cmap = _build_one_map(arrays, meta, param, 120, 6, 1.0,
+                          caustics=True, seed=2)
+    return cluster_photon_map(gmap), cluster_photon_map(cmap)
+
+
+def test_mega_photon_gather_parity():
+    """In-kernel photon/caustics gathering == the XLA engine's exact
+    gather on every non-escalated lane (trc_mtl_glass: glass caustics).
+
+    The megakernel gathers with r_eff = r (exact while <= GATHER_K photons
+    lie in radius) and flags denser lanes for escalation; at reference map
+    densities no lane escalates."""
+    scene = load_scene(f"{INPUTS}/trc_mtl_glass.xml")
+    scene.camera.img_width, scene.camera.img_height = 64, 48
+    arrays, meta = compile_scene(scene)
+    pmaps = _small_photon_maps(arrays, meta)
+
+    cfg = IntegratorConfig(integrator="photonmap", max_bounce=4,
+                           shadow_spp=4, shadow_spp_max=8,
+                           use_photon_map=True)
+    npx = 64 * 48
+    ids = np.arange(npx * 2, dtype=np.int32)
+    px = jnp.asarray(ids % 64)
+    py = jnp.asarray((ids // 64) % 48)
+    sids = jnp.asarray(ids // npx)
+    key = jax.random.key(3, impl="threefry2x32")
+
+    rad_x, t0_x, irr_x = render_batch_xla(
+        arrays, meta, cfg, px, py, sids, key, pmaps, want_aux=True
+    )
+    rad_m, t0_m, irr_m, esc = mega_render(
+        arrays, meta, cfg, "threefry2x32", True, px, py, sids,
+        jax.random.key_data(key), pmaps,
+    )
+    esc = np.asarray(esc)
+    assert esc.mean() < 0.01, f"unexpected escalation rate {esc.mean():.2%}"
+    ok = ~esc
+    rad_x, rad_m = np.asarray(rad_x), np.asarray(rad_m)
+    rel = np.abs(rad_x - rad_m).max(axis=-1) / (
+        1.0 + np.abs(rad_x).max(axis=-1)
+    )
+    assert (rel[ok] > 1e-3).mean() < 0.01
+    assert np.abs(rad_x[ok].mean(0) - rad_m[ok].mean(0)).max() < 2e-3
+    # The irradiance-computation debug plane matches the engine's.
+    assert (np.asarray(irr_x) == np.asarray(irr_m)).mean() > 0.999
+
+
+def test_mega_photon_escalation_flags_dense_lanes():
+    """Blowing the global-map radius up past the whole scene makes every
+    global gather exceed GATHER_K in-radius photons: those lanes must be
+    flagged, and every UNflagged lane must still match the XLA engine."""
+    scene = load_scene(f"{INPUTS}/trc_mtl_glass.xml")
+    scene.camera.img_width, scene.camera.img_height = 48, 36
+    arrays, meta = compile_scene(scene)
+    gmap, cmap = _small_photon_maps(arrays, meta)
+    gmap = gmap._replace(radius=jnp.asarray(np.float32(50.0)))
+    pmaps = (gmap, cmap)
+
+    cfg = IntegratorConfig(integrator="photonmap", max_bounce=4,
+                           shadow_spp=4, shadow_spp_max=8,
+                           use_photon_map=True)
+    ids = np.arange(48 * 36, dtype=np.int32)
+    px = jnp.asarray(ids % 48)
+    py = jnp.asarray(ids // 48)
+    sids = jnp.zeros_like(px)
+    key = jax.random.key(0, impl="threefry2x32")
+    rad_m, _, _, esc = mega_render(
+        arrays, meta, cfg, "threefry2x32", True, px, py, sids,
+        jax.random.key_data(key), pmaps,
+    )
+    rad_x, _ = render_batch_xla(arrays, meta, cfg, px, py, sids, key, pmaps)
+    esc = np.asarray(esc)
+    assert esc.mean() > 0.3  # wall lanes that reached a second diffuse vertex
+    rel = np.abs(np.asarray(rad_x) - np.asarray(rad_m)).max(-1) / (
+        1.0 + np.abs(np.asarray(rad_x)).max(-1)
+    )
+    assert (rel[~esc] > 1e-3).mean() == 0.0

@@ -165,3 +165,90 @@ def test_photon_mapped_render(inputs_dir):
     img = fb.img.reshape(45, 60, 3)
     assert np.isfinite(img).all()
     assert img.sum() > 0
+
+
+# ---------------------------------------------------------------------------
+# Pallas cluster-culled gather (ops/pallas_photon.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pallas_gather_matches_float64():
+    """Cluster sweep == the float64 EstimateIrradiance formula (r_eff = r).
+
+    The incumbent XLA `_estimate_capped` drifts ~1e-3 at batch shapes (XLA
+    rewrites the [Q,P] squared-distance into a cancellation-prone matmul
+    form); the Pallas sweep stays within float32 ulp of the float64
+    reference, so the comparison is against float64, not the XLA path.
+    """
+    from qaray_tpu.ops.pallas_photon import pallas_gather
+    from qaray_tpu.photon.cluster import cluster_photon_map
+
+    pmap, pos, power, pdir = _make_map(n=300, radius=0.5)
+    pmap = pmap._replace(valid=jnp.asarray(np.arange(300) < 283))
+    pmap = cluster_photon_map(pmap)
+    qs = np.random.RandomState(1).uniform(-1, 1, (64, 3)).astype(np.float32)
+
+    irr_s, dsum_s, cnt = pallas_gather(
+        pmap.ctable, pmap.cbounds, pmap.radius, jnp.asarray(qs),
+        interpret=True,
+    )
+    r2 = 0.25
+    area = np.pi * 0.5 * r2
+    irr = np.asarray(irr_s) / area
+
+    pv = pos[:283].astype(np.float64)
+    pw = power[:283].astype(np.float64)
+    pd64 = (pdir[:283] * power[:283].max(axis=1, keepdims=True)).astype(
+        np.float64
+    )
+    d2 = ((qs[:, None, :].astype(np.float64) - pv[None]) ** 2).sum(-1)
+    w = np.maximum(0.0, 1.0 - d2 / r2) * (d2 < r2)
+    np.testing.assert_allclose(irr, (w @ pw) / area, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dsum_s), w @ pd64, rtol=1e-4,
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(cnt), (d2 < r2).sum(-1))
+
+    # Masked lanes gather nothing.
+    act = np.zeros(64, np.float32)
+    act[:10] = 1.0
+    irr_m, _, cnt_m = pallas_gather(
+        pmap.ctable, pmap.cbounds, pmap.radius, jnp.asarray(qs),
+        jnp.asarray(act), interpret=True,
+    )
+    assert np.all(np.asarray(cnt_m)[10:] == 0)
+    np.testing.assert_allclose(np.asarray(irr_m)[:10], np.asarray(irr_s)[:10])
+
+
+def test_pallas_gather_empty_map():
+    """An all-invalid (empty) map packs to a never-overlapping cluster."""
+    from qaray_tpu.ops.pallas_photon import pallas_gather
+    from qaray_tpu.photon.cluster import cluster_photon_map
+
+    pmap, *_ = _make_map(n=64)
+    pmap = pmap._replace(valid=jnp.zeros(64, bool))
+    pmap = cluster_photon_map(pmap)
+    qs = jnp.asarray(np.zeros((8, 3), np.float32))
+    irr, dsum, cnt = pallas_gather(pmap.ctable, pmap.cbounds, pmap.radius,
+                                   qs, interpret=True)
+    assert np.all(np.asarray(irr) == 0)
+    assert np.all(np.asarray(cnt) == 0)
+
+
+def test_caustics_map_degrades_to_empty(inputs_dir):
+    """Scenes where every material has diffuse luma > 0 can never store a
+    caustics photon (renderer.cpp:248-271 sets hasDiffuseHit at the FIRST
+    photon-surface hit) — the reference's `while (true)` build loop spins
+    forever on its own caustics flagship. We degrade to an empty map."""
+    from qaray_tpu.photon.build import _build_one_map
+    from qaray_tpu.renderer import RendererParam
+    from qaray_tpu.scene.compiler import compile_scene
+    from qaray_tpu.scene.xml_parser import load_scene
+
+    desc = load_scene(
+        f"{inputs_dir}/example_project12_caustics_glossy.xml"
+    )
+    desc.camera.img_width, desc.camera.img_height = 40, 30
+    scene, meta = compile_scene(desc)
+    cmap = _build_one_map(scene, meta, RendererParam(), 100, 6, 1.0,
+                          caustics=True, seed=7, batch=512)
+    assert int(np.asarray(cmap.valid).sum()) == 0
