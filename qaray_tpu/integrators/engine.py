@@ -768,7 +768,7 @@ def use_pathtrace_mega(meta: SceneMeta, cfg: IntegratorConfig,
         and (meta.num_analytic > 0 or meta.mesh_mega)
         and len(meta.analytic_kinds) == meta.num_analytic
         and len(meta.analytic_mtls) == meta.num_analytic
-        and not meta.has_mtl_textures
+        and (not meta.has_mtl_textures or meta.mega_tex_ok)
         and not meta.has_bg_texture
         and not meta.has_env_texture
         and _mega_photon_ok(cfg, photon_maps)

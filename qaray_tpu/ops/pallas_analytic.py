@@ -310,8 +310,13 @@ def _kernel_full(kinds, want_uv, m_ref, t_ref,
             noy = hpy * inv
             noz = hpz * inv
             if want_uv:
-                u_p = 0.5 - jnp.arctan2(hpx, hpy) * (0.5 / np.pi)
-                v_p = 0.5 + jnp.arcsin(jnp.clip(noz, -1.0, 1.0)) * (1.0 / np.pi)
+                # Mosaic has no atan2/asin intrinsics: polynomial port
+                # (Sphere_TexCoord, objects.cpp:48-53). jnp.arctan2 here
+                # crashed every textured-scene closest-hit on TPU.
+                from qaray_tpu.ops.pallas_pathtrace import _asin, _atan2
+
+                u_p = 0.5 - _atan2(hpx, hpy) * (0.5 / np.pi)
+                v_p = 0.5 + _asin(noz) * (1.0 / np.pi)
             else:
                 u_p = jnp.zeros_like(hpx)
                 v_p = jnp.zeros_like(hpx)

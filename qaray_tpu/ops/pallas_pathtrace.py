@@ -157,6 +157,37 @@ def _to_local_frame(n, s):
     )
 
 
+def _atan_poly(z):
+    """atan on [-1, 1]: Abramowitz-Stegun 4.4.49 polynomial, |err|<=2e-8.
+
+    Mosaic has no atan2/asin intrinsics (CLAUDE.md); the sphere UV math
+    (objects/objects.cpp:48-53) runs on this instead. f32 round-off
+    dominates the 2e-8 polynomial error.
+    """
+    z2 = z * z
+    p = jnp.float32(0.0028662257)
+    for c in (-0.0161657367, 0.0429096138, -0.0752896400, 0.1065626393,
+              -0.1420889944, 0.1999355085, -0.3333314528):
+        p = p * z2 + jnp.float32(c)
+    return z * (p * z2 + 1.0)
+
+
+def _atan2(y, x):
+    """atan2(y, x) via the octant reduction of _atan_poly."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    z = jnp.minimum(ax, ay) / jnp.maximum(jnp.maximum(ax, ay), 1e-30)
+    a = _atan_poly(z)
+    a = jnp.where(ay > ax, jnp.float32(0.5 * np.pi) - a, a)
+    a = jnp.where(x < 0.0, jnp.float32(np.pi) - a, a)
+    return jnp.where(y < 0.0, -a, a)
+
+
+def _asin(z):
+    z = jnp.clip(z, -1.0, 1.0)
+    return _atan2(z, jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0)))
+
+
 def _halton(i, base: int, iters: int = 10):
     """Radical inverse, same digit count as core.halton.halton."""
     r = jnp.zeros(i.shape, jnp.float32)
@@ -177,6 +208,13 @@ _MT_DIFF, _MT_SPEC, _MT_EMIT, _MT_REFL, _MT_REFR = 0, 3, 6, 9, 12
 _MT_GLOSS, _MT_RGLOSS, _MT_TGLOSS, _MT_IOR = 15, 16, 17, 18
 _MT_ABS = 19
 MTL_COLS = 22
+# Optional per-slot checker-texture columns (appended when the scene has
+# live textures and meta.mega_tex_ok): for each of the 5 color slots, 16
+# cols [has, color1(3), color2(3), tex_m row0(3), row1(3), tex_t(3)].
+_MT_TEXBASE = 22
+_TEX_STRIDE = 16
+_SLOT_NAMES = ("diffuse", "specular", "emission", "reflection",
+               "refraction")
 
 # light table columns
 _LT_INT, _LT_POS, _LT_DIR, _LT_SIZE, _LT_INNER, _LT_OUTER = 0, 3, 6, 9, 10, 11
@@ -406,7 +444,7 @@ def _shadow_occluded(kinds, prim_ref, p, d, t_max, mesh=None):
 
 
 def _closest_hit(kinds, mtls, prim_ref, mtl_ref, p, d, mesh=None,
-                 mesh_mtls=()):
+                 mesh_mtls=(), tex_slots=(), diff=None):
     """Fused closest hit + winner attributes + material fold-in.
 
     Returns dict of [R,128] tiles: t, hit, n (world, unit), front, hp (world
@@ -419,15 +457,27 @@ def _closest_hit(kinds, mtls, prim_ref, mtl_ref, p, d, mesh=None,
     barycentric over the attr table's corner normals) and the material row
     id are folded during the sweep, and params merged afterwards against
     the static mesh_mtls tuple.
+
+    tex_slots: static 5-bool tuple — when any is set, the winner's texture
+    coordinates (Sphere_TexCoord/Plane_TexCoord, objects.cpp:48-53,144-147)
+    are folded into "uv" and the per-slot checker columns ride the material
+    merge. diff: optional (px, dx, py, dy) differential camera rays (each a
+    component triple) — adds "duv0"/"duv1" texture footprints via the
+    reference's tangent-plane differential hits (objects.cpp:107-202).
     """
     shape = p[0].shape
     t_best = jnp.full(shape, BIGFLOAT, jnp.float32)
     n_b = (jnp.zeros(shape), jnp.zeros(shape), jnp.ones(shape))
     # front carried as f32 0/1: Mosaic cannot select between i1 vectors.
     front_b = jnp.ones(shape, jnp.float32)
+    want_uv = any(tex_slots)
+    zero = jnp.zeros(shape)
+    uv_b = (zero, zero)
+    duv0_b = (zero, zero)
+    duv1_b = (zero, zero)
 
     def mtl_row(row):
-        return {
+        out = {
             "diffuse": _v3(mtl_ref, row, _MT_DIFF),
             "specular": _v3(mtl_ref, row, _MT_SPEC),
             "emission": _v3(mtl_ref, row, _MT_EMIT),
@@ -439,6 +489,17 @@ def _closest_hit(kinds, mtls, prim_ref, mtl_ref, p, d, mesh=None,
             "tgloss": mtl_ref[row, _MT_TGLOSS],
             "ior": mtl_ref[row, _MT_IOR],
         }
+        for s, flag in enumerate(tex_slots):
+            if not flag:
+                continue
+            base = _MT_TEXBASE + _TEX_STRIDE * s
+            out[f"tx{s}_has"] = mtl_ref[row, base]
+            out[f"tx{s}_c1"] = _v3(mtl_ref, row, base + 1)
+            out[f"tx{s}_c2"] = _v3(mtl_ref, row, base + 4)
+            out[f"tx{s}_m0"] = _v3(mtl_ref, row, base + 7)
+            out[f"tx{s}_m1"] = _v3(mtl_ref, row, base + 10)
+            out[f"tx{s}_t"] = _v3(mtl_ref, row, base + 13)
+        return out
 
     def bcast(mrow):
         out = {}
@@ -460,8 +521,55 @@ def _closest_hit(kinds, mtls, prim_ref, mtl_ref, p, d, mesh=None,
         if kinds[prim] == KIND_SPHERE:
             n_obj = _norm3(hp, eps=1e-30)
         else:
-            zero = jnp.zeros(shape)
             n_obj = (zero, zero, jnp.ones(shape))
+        if want_uv:
+            inv_2pi = jnp.float32(0.5 / np.pi)
+            inv_pi = jnp.float32(1.0 / np.pi)
+            if kinds[prim] == KIND_SPHERE:
+                u_p = 0.5 - _atan2(hp[0], hp[1]) * inv_2pi
+                v_p = 0.5 + _asin(n_obj[2]) * inv_pi
+            else:
+                u_p = (hp[0] + 1.0) * 0.5
+                v_p = (hp[1] + 1.0) * 0.5
+            uv_b = (
+                jnp.where(take, u_p, uv_b[0]),
+                jnp.where(take, v_p, uv_b[1]),
+            )
+            if diff is not None:
+                # Differential hits on the local tangent plane
+                # (objects.cpp:107-135 spheres, :174-202 planes).
+                if kinds[prim] == KIND_SPHERE:
+                    n_loc, anchor = n_obj, hp
+                else:
+                    n_loc, anchor = n_obj, (zero, zero, zero)
+
+                def off_uv(pd, dd, _prim=prim, _n=n_loc, _a=anchor):
+                    _, po2, do2 = _obj_ray(prim_ref, _prim, pd, dd)
+                    den = _dot3(do2, _n)
+                    den = jnp.where(jnp.abs(den) < 1e-20, 1e-20, den)
+                    t_off = -_dot3(_sub3(po2, _a), _n) / den
+                    hpo = _add3(po2, _scale3(do2, t_off))
+                    if kinds[_prim] == KIND_SPHERE:
+                        r = jnp.sqrt(jnp.maximum(_dot3(hpo, hpo), 1e-30))
+                        uo = 0.5 - _atan2(hpo[0], hpo[1]) * inv_2pi
+                        vo = 0.5 + _asin(hpo[2] / r) * inv_pi
+                    else:
+                        uo = (hpo[0] + 1.0) * 0.5
+                        vo = (hpo[1] + 1.0) * 0.5
+                    return uo, vo
+
+                from qaray_tpu.core.constants import RCP_DX, RCP_DY
+
+                u0o, v0o = off_uv(diff[0], diff[1])
+                u1o, v1o = off_uv(diff[2], diff[3])
+                duv0_b = (
+                    jnp.where(take, RCP_DX * (u0o - u_p), duv0_b[0]),
+                    jnp.where(take, RCP_DX * (v0o - v_p), duv0_b[1]),
+                )
+                duv1_b = (
+                    jnp.where(take, RCP_DY * (u1o - u_p), duv1_b[0]),
+                    jnp.where(take, RCP_DY * (v1o - v_p), duv1_b[1]),
+                )
         front_p = jnp.where(_dot3(n_obj, do) <= 0.0, 1.0, 0.0)
         # World normal: normalize(M_w2o^T n_obj) (core/transform.cpp:49-56).
         nw = (
@@ -539,7 +647,7 @@ def _closest_hit(kinds, mtls, prim_ref, mtl_ref, p, d, mesh=None,
     hit = t_best < BIGFLOAT
     t_eval = jnp.where(hit, t_best, 1.0)
     hp_world = _add3(p, _scale3(d, t_eval))
-    return {
+    out = {
         "t": t_best,
         "hit": hit,
         "n": n_b,
@@ -547,6 +655,87 @@ def _closest_hit(kinds, mtls, prim_ref, mtl_ref, p, d, mesh=None,
         "hp": hp_world,
         "mtl": mtl_b,
     }
+    if want_uv:
+        out["uv"] = uv_b
+        if diff is not None:
+            out["duv0"] = duv0_b
+            out["duv1"] = duv1_b
+    return out
+
+
+def _texture_offsets():
+    """Static Halton(2,3) elliptic footprint offsets — same 31 points as
+    ops/texture._elliptic_offsets (core/texture.cpp:38-44)."""
+    from qaray_tpu.core.halton import halton_np
+
+    i = np.arange(1, 32)
+    hx = halton_np(i, 2)
+    hy = halton_np(i, 3)
+    r = np.sqrt(hx) * 0.5
+    return (
+        (r * np.sin(hy * 2.0 * np.pi)).astype(np.float32),
+        (r * np.cos(hy * 2.0 * np.pi)).astype(np.float32),
+    )
+
+
+def _apply_checker_textures(mtl, uv, duv, tex_slots):
+    """In-kernel TexturedColor::Sample for checker maps.
+
+    Point sample = textures/texture.cpp:129-137 after the TextureMap
+    transform (core/texture.cpp:67-82). With duv (primary hits), the
+    reference's 32-sample elliptic footprint filter (core/texture.cpp:
+    32-52) collapses to a closed form for checkers: the mean of 32
+    two-valued samples is mix(color2, color1, hit_fraction).
+    """
+    mtl = dict(mtl)
+    for s, nm in enumerate(_SLOT_NAMES):
+        if not tex_slots[s]:
+            continue
+        tm0 = mtl[f"tx{s}_m0"]
+        tm1 = mtl[f"tx{s}_m1"]
+        tt = mtl[f"tx{s}_t"]
+        pu = uv[0] - tt[0]
+        pv = uv[1] - tt[1]
+        pw = -tt[2]
+        um = tm0[0] * pu + tm0[1] * pv + tm0[2] * pw
+        vm = tm1[0] * pu + tm1[1] * pv + tm1[2] * pw
+
+        def chk01(u_, v_):
+            ut = u_ - jnp.floor(u_)
+            vt = v_ - jnp.floor(v_)
+            return jnp.where((ut <= 0.5) == (vt <= 0.5), 1.0, 0.0)
+
+        w1 = chk01(um, vm)
+        if duv is not None:
+            duv0, duv1 = duv
+            d0u = tm0[0] * duv0[0] + tm0[1] * duv0[1]
+            d0v = tm1[0] * duv0[0] + tm1[1] * duv0[1]
+            d1u = tm0[0] * duv1[0] + tm0[1] * duv1[1]
+            d1v = tm1[0] * duv1[0] + tm1[1] * duv1[1]
+            xs, ys = _texture_offsets()
+            acc = w1
+            for i in range(31):
+                acc = acc + chk01(
+                    um + float(xs[i]) * d0u + float(ys[i]) * d1u,
+                    vm + float(xs[i]) * d0v + float(ys[i]) * d1v,
+                )
+            zf = (
+                duv0[0] * duv0[0] + duv0[1] * duv0[1]
+                + duv1[0] * duv1[0] + duv1[1] * duv1[1]
+            ) == 0.0
+            w1 = jnp.where(zf, w1, acc * (1.0 / 32.0))
+        c1 = mtl[f"tx{s}_c1"]
+        c2 = mtl[f"tx{s}_c2"]
+        has = mtl[f"tx{s}_has"] > 0.5
+        mtl[nm] = tuple(
+            jnp.where(
+                has,
+                mtl[nm][k] * (w1 * c1[k] + (1.0 - w1) * c2[k]),
+                mtl[nm][k],
+            )
+            for k in range(3)
+        )
+    return mtl
 
 
 # ---------------------------------------------------------------------------
@@ -763,6 +952,12 @@ def _make_kernel(meta, cfg, n_clusters: int, pg_clusters: int = 0,
     has_glossy = meta.has_glossy
     integrator = cfg.integrator
     max_bounce = cfg.max_bounce
+    tex_slots = (
+        meta.mega_tex_slots
+        if (meta.has_mtl_textures and meta.mega_tex_ok)
+        else (False,) * 5
+    )
+    want_tex = any(tex_slots)
 
     def kernel(prim_ref, mtl_ref, light_ref, cam_ref, key_ref,
                mc16_ref, mattr_ref, mcb_ref,
@@ -809,6 +1004,19 @@ def _make_kernel(meta, cfg, n_clusters: int, pg_clusters: int = 0,
                            for k in range(3))
         d = _norm3(_sub3(cpt, campos))
         p = campos
+        if want_tex:
+            # Differential camera rays for the primary-hit texture
+            # footprints (DiffRay ctor, renderer.cpp:314-326).
+            from qaray_tpu.core.constants import DIFF_DX, DIFF_DY
+
+            xpt = tuple(cpt[k] + DIFF_DX * cu[k] for k in range(3))
+            ypt = tuple(cpt[k] + DIFF_DY * cv[k] for k in range(3))
+            cam_diff = (
+                campos, _norm3(_sub3(xpt, campos)),
+                campos, _norm3(_sub3(ypt, campos)),
+            )
+        else:
+            cam_diff = None
 
         bg = _v3(cam_ref, 0, _CAM_BG)
         env = _v3(cam_ref, 0, _CAM_ENV)
@@ -837,8 +1045,10 @@ def _make_kernel(meta, cfg, n_clusters: int, pg_clusters: int = 0,
         rec_valid = jnp.zeros(shape, jnp.float32)
 
         for bounce in range(max_bounce + 1):
-            hits = _closest_hit(kinds, mtls, prim_ref, mtl_ref, p, d,
-                                mesh, mesh_mtls)
+            hits = _closest_hit(
+                kinds, mtls, prim_ref, mtl_ref, p, d, mesh, mesh_mtls,
+                tex_slots, cam_diff if bounce == 0 else None,
+            )
             hit = hits["hit"] & alive
             miss = (~hits["hit"]) & alive
             if bounce == 0:
@@ -863,6 +1073,12 @@ def _make_kernel(meta, cfg, n_clusters: int, pg_clusters: int = 0,
                 )
 
             mtl = hits["mtl"]
+            if want_tex:
+                mtl = _apply_checker_textures(
+                    mtl, hits["uv"],
+                    (hits["duv0"], hits["duv1"]) if bounce == 0 else None,
+                    tex_slots,
+                )
             n = _norm3(hits["n"], eps=1e-30)
             front = hits["front"]
             v = _neg3(d)
@@ -1198,7 +1414,7 @@ def _make_kernel(meta, cfg, n_clusters: int, pg_clusters: int = 0,
 # ---------------------------------------------------------------------------
 
 
-def _pack_tables(scene):
+def _pack_tables(scene, want_tex: bool = False):
     """SceneArrays -> the small VMEM tables the kernel reads (all traced)."""
     prims = scene.analytic
     prim_tab = jnp.concatenate(
@@ -1215,6 +1431,22 @@ def _pack_tables(scene):
         ],
         axis=1,
     )  # [M, MTL_COLS]
+    if want_tex:
+        # Checker-texture columns (see _MT_TEXBASE layout).
+        atlas = scene.textures
+        cols = [mtl_tab]
+        for s in range(len(_SLOT_NAMES)):
+            tid = mt.tex_id[:, s]
+            safe = jnp.maximum(tid, 0)
+            cols += [
+                (tid >= 0).astype(jnp.float32)[:, None],
+                atlas.color1[safe],
+                atlas.color2[safe],
+                mt.tex_m[:, s, 0, :],
+                mt.tex_m[:, s, 1, :],
+                mt.tex_t[:, s],
+            ]
+        mtl_tab = jnp.concatenate(cols, axis=1)
     lt = scene.lights
     light_tab = jnp.concatenate(
         [
@@ -1256,7 +1488,9 @@ def _mega_raw(scene, meta, cfg, px, py, sample_ids, key_words,
     def shape2(a):
         return a.reshape(rows, LANES)
 
-    prim_tab, mtl_tab, light_tab, cam_tab = _pack_tables(scene)
+    prim_tab, mtl_tab, light_tab, cam_tab = _pack_tables(
+        scene, want_tex=meta.has_mtl_textures and meta.mega_tex_ok
+    )
     if meta.mesh_mega:
         mc16 = scene.mesh.mega_c16
         mattr = scene.mesh.mega_attr

@@ -211,6 +211,14 @@ class SceneMeta(NamedTuple):
     # the engine skip the glossy-jitter sampling entirely for the common
     # non-glossy scene).
     has_glossy: bool = False
+    # Megakernel texture path: True when every live material texture is a
+    # procedural checker (pure math — file textures need per-lane texel
+    # gathers, which Mosaic cannot vectorize) and no mega-mesh face
+    # material is textured. mega_tex_slots marks which of the 5 material
+    # slots (diffuse, specular, emission, reflection, refraction) carry
+    # any live texture, so the kernel only reads/merges those columns.
+    mega_tex_ok: bool = False
+    mega_tex_slots: tuple = (False,) * 5
     # Static texture presence: when False the engine skips all texture
     # sampling machinery (the 32-sample footprint filter over 5 material
     # slots dominates untextured scenes otherwise — e.g. trc_scene_xmas,

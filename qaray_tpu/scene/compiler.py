@@ -461,6 +461,40 @@ class SceneCompiler:
             tex_t=jnp.asarray(tex_t),
         )
 
+    _TEX_SLOTS = ("diffuse", "specular", "emission", "reflection",
+                  "refraction")
+
+    def _slot_live_tex(self, mat, slot) -> bool:
+        tc = getattr(mat, slot)
+        return tc.map is not None and tc.map.texture.kind != "missing"
+
+    def _mega_tex_slots(self):
+        """Which material slots carry any live texture (static, per scene)."""
+        return tuple(
+            any(self._slot_live_tex(m, s) for m in self.materials)
+            for s in self._TEX_SLOTS
+        )
+
+    def _mega_tex_ok(self, b) -> bool:
+        """May the megakernel texture this scene? True iff every live
+        material texture is a procedural checker (pure in-kernel math; file
+        textures need per-lane texel gathers Mosaic cannot vectorize) and
+        no mega-mesh face material is textured (attr16 carries no UVs)."""
+        if not self.has_mtl_textures:
+            return False
+        for m in self.materials:
+            for s in self._TEX_SLOTS:
+                tc = getattr(m, s)
+                if tc.map is not None and tc.map.texture.kind not in (
+                    "missing", "checker",
+                ):
+                    return False
+        for row in getattr(self, "_mega_mtls", ()):
+            m = self.materials[row]
+            if any(self._slot_live_tex(m, s) for s in self._TEX_SLOTS):
+                return False
+        return True
+
     def _light_table(self) -> LightTable:
         lights = self.scene.lights
         n = max(len(lights), 1)
@@ -681,6 +715,8 @@ class SceneCompiler:
             has_mtl_textures=self.has_mtl_textures,
             has_bg_texture=_live_texture(self.scene.background),
             has_env_texture=_live_texture(self.scene.environment),
+            mega_tex_ok=self._mega_tex_ok(b),
+            mega_tex_slots=self._mega_tex_slots(),
             world_bvh=use_world,
             mesh_stream=(
                 use_world

