@@ -72,6 +72,11 @@ def _pad_to_bucket(n: int, minimum: int = 256) -> int:
     return b
 
 
+def _is_contig(ids: np.ndarray) -> bool:
+    """Consecutive ascending pixel ids (phase-1 chunks; sorted producers)."""
+    return ids.size > 0 and bool(np.all(np.diff(ids) == 1))
+
+
 class Renderer:
     def __init__(self, param: Optional[RendererParam] = None):
         self.param = param or RendererParam()
@@ -181,6 +186,13 @@ class Renderer:
             cfg.use_photon_map
             and use_pathtrace_mega(meta, cfg, self.photon_maps)
         )
+        # Accumulation planes live ON DEVICE (fb/device_accum.py): render
+        # rounds feed a jitted scatter update and only scalars cross the
+        # device->host link per round; the host FrameBuffer is a mirror
+        # synced at checkpoints/previews/end.
+        from qaray_tpu.fb.device_accum import init_state
+
+        self._accum = init_state(fb, want_irr=self._want_aux())
 
         all_ids = np.arange(num_pixels, dtype=np.int32)
         start = time.time()
@@ -198,7 +210,7 @@ class Renderer:
             s = s_start
             while s < p.spp_min:
                 if self.stop_flag:
-                    self._flush()
+                    self.sync_fb()
                     return fb
                 k = min(pack, p.spp_min - s)
                 self._render_packed(cfg, all_ids, list(range(s, s + k)),
@@ -209,7 +221,7 @@ class Renderer:
         else:
             for s in range(s_start, p.spp_min):
                 if self.stop_flag:
-                    self._flush()
+                    self.sync_fb()
                     return fb
                 self._render_round(cfg, all_ids, s, base_key,
                                    record_depth=(s == 0))
@@ -218,11 +230,14 @@ class Renderer:
 
         # Phase 2: adaptive refinement until spp_max / convergence,
         # compacting to the unconverged active set each round. The
-        # convergence read requires the pipeline drained.
+        # convergence mask is computed on device and fetched as one bool
+        # plane; escalation fixes require the pipeline retired first.
+        from qaray_tpu.fb.device_accum import unconverged_ids
+
         s = p.spp_min
         while s < p.spp_max:
             self._flush()
-            active = all_ids[~fb.converged(p.threshold) & (fb.count == s)]
+            active = unconverged_ids(self._accum, p.threshold, s)
             if active.size == 0 or self.stop_flag:
                 break
             for _ in range(min(p.round_spp, p.spp_max - s)):
@@ -232,17 +247,29 @@ class Renderer:
                     break
             self._report(s)
 
-        self._flush()
+        self.sync_fb()
         elapsed = time.time() - start
         self._last_elapsed = elapsed
         fb.finalize(p.use_srgb, p.spp_max)
         return fb
 
+    def sync_fb(self):
+        """Retire in-flight work and mirror the device accumulator into the
+        host FrameBuffer (checkpoints, previews, probes, final image)."""
+        self._flush()
+        if getattr(self, "_accum", None) is not None:
+            from qaray_tpu.fb.device_accum import sync_to_fb
+
+            sync_to_fb(self._accum, self.fb)
+        return self.fb
+
     def _render_packed(self, cfg, pixel_ids: np.ndarray, sample_indices,
                        base_key, record_depth: bool):
         """Dispatch len(sample_indices) samples per pixel in one batch, then
-        fold them into the accumulator in sample order (the Welford
+        fold them into the device accumulator in sample order (the Welford
         recurrence is order-sensitive; order matches the reference loop)."""
+        from qaray_tpu.fb.device_accum import accumulate_round
+
         meta = self.meta
         w = meta.img_width
         num_pixels = pixel_ids.size
@@ -261,38 +288,68 @@ class Renderer:
             jax.numpy.asarray(sids_p), base_key, self.photon_maps,
             want_aux=self._want_aux(),
         )
-        radiance, t0 = out[0], out[1]
-        radiance = np.asarray(radiance)[:n]
-        radiance = self._fix_escalated(ids_tiled[:n], sids[:n], radiance, out)
-        radiance = radiance.reshape(num_samples, num_pixels, 3)
+        radiance = out[0]
+        esc = out[-1] if self._mega_photon else None
+        irr = out[2] if (self._want_aux() and len(out) > 2) else None
+        contig = _is_contig(pixel_ids)
+        from qaray_tpu.fb.device_accum import accumulate_contig
+
+        dev_ids = None if contig else jax.numpy.asarray(pixel_ids)
+        n_skips = []
         for k in range(num_samples):
-            self.fb.accumulate(pixel_ids, radiance[k])
+            lo, hi = k * num_pixels, (k + 1) * num_pixels
+            if contig:
+                res = accumulate_contig(
+                    self._accum, int(pixel_ids[0]), radiance[lo:hi],
+                    skip=esc[lo:hi] if esc is not None else None,
+                    irr=irr[lo:hi] if irr is not None else None,
+                )
+            else:
+                res = accumulate_round(
+                    self._accum, dev_ids, radiance[lo:hi],
+                    skip=esc[lo:hi] if esc is not None else None,
+                    irr=irr[lo:hi] if irr is not None else None,
+                )
+            self._accum, n_skip = res
+            n_skips.append(n_skip)
         if record_depth:
-            self.fb.set_depth(pixel_ids, np.asarray(t0)[:num_pixels])
-        if self._want_aux() and len(out) > 2:
-            self.fb.mark_irradiance(
-                ids_tiled, np.asarray(out[2])[:n]
+            self.fb.set_depth(pixel_ids, np.asarray(out[1])[:num_pixels])
+        # Escalated lanes (rare): fold their exact-XLA radiance per sample,
+        # in sample order.
+        for k in range(num_samples):
+            if int(n_skips[k]) == 0:
+                continue
+            lo = k * num_pixels
+            mask = np.asarray(esc[lo : lo + num_pixels])
+            self._accumulate_escalated(
+                pixel_ids, np.full(num_pixels, sample_indices[k], np.int32),
+                mask,
             )
 
     def _render_round(self, cfg, pixel_ids: np.ndarray, sample_idx: int,
                       base_key, record_depth: bool):
         """One sample for each pixel id, chunked to the device batch size.
 
-        Dispatches are PIPELINED one deep: the previous chunk's outputs are
-        fetched (and folded into the framebuffer, in dispatch order — the
-        Welford recurrence is order-sensitive) only after the next chunk is
-        enqueued, keeping the device busy across the tunnel's dispatch
-        round-trip. `_retire_inflight` drains the tail; callers that need
-        the framebuffer up to date (adaptive compaction, checkpoints,
-        cancellation exits) flush first via `_flush`."""
+        The render dispatch feeds the device accumulator directly (a data
+        dependency — no host transfer); dispatches stay PIPELINED one deep,
+        and the only per-round host read is the previous chunk's skipped-
+        lane count (one scalar). `_retire_inflight` performs the rare
+        escalation fix-ups; callers that need the host framebuffer current
+        sync via `sync_fb`."""
+        from qaray_tpu.fb.device_accum import (
+            accumulate_contig,
+            accumulate_round,
+        )
+
         meta = self.meta
         w = meta.img_width
+        dump_row = meta.img_width * meta.img_height
         chunk = self._effective_batch()
         for lo in range(0, pixel_ids.size, chunk):
             ids = pixel_ids[lo : lo + chunk]
             n = ids.size
             padded = _pad_to_bucket(n)
-            ids_p = np.zeros(padded, np.int32)
+            ids_p = np.full(padded, dump_row, np.int32)
             ids_p[:n] = ids
             px = jax.numpy.asarray(ids_p % w)
             py = jax.numpy.asarray(ids_p // w)
@@ -301,62 +358,80 @@ class Renderer:
                 self.scene_arrays, meta, cfg, px, py, sample_ids, base_key,
                 self.photon_maps, want_aux=self._want_aux(),
             )
-            pending = (ids, sample_idx, out, record_depth)
+            esc = out[-1] if self._mega_photon else None
+            irr = out[2] if (self._want_aux() and len(out) > 2) else None
+            if _is_contig(ids):
+                # Phase-1 chunks sweep contiguous pixel ranges: the
+                # dynamic-slice update is ~23x cheaper than the scatter.
+                self._accum, n_skip = accumulate_contig(
+                    self._accum, int(ids[0]), out[0][:n],
+                    skip=esc[:n] if esc is not None else None,
+                    irr=irr[:n] if irr is not None else None,
+                )
+            else:
+                dev_ids = jax.numpy.asarray(ids_p)
+                self._accum, n_skip = accumulate_round(
+                    self._accum, dev_ids, out[0], skip=esc, irr=irr
+                )
+            pending = (ids, sample_idx, out, n_skip, record_depth)
             self._retire_inflight()
             self._inflight = pending
 
-    def _fix_escalated(self, pixel_ids, sids, radiance, out):
-        """Re-render gather-escalated lanes on the exact XLA path.
+    def _accumulate_escalated(self, pixel_ids, sids, esc_mask):
+        """Re-render gather-escalated lanes on the exact XLA path and fold
+        their radiance into the accumulator.
 
         The megakernel gathers with r_eff = radius, exact while at most
         GATHER_K photons lie in radius (photon/cluster.py); lanes over the
         cap carry the reference's radius-shrink semantics instead
         (EstimateIrradiance<100>) — recompute exactly those lanes with the
-        wavefront engine (same threefry draws => same paths) and splice
-        their radiance in.
+        wavefront engine (same threefry draws => same paths). Their samples
+        were skipped by the main accumulate (dump row), so the fold here
+        keeps per-pixel counts exact.
         """
-        if not getattr(self, "_mega_photon", False) or len(out) < 3:
-            return radiance
-        esc = np.asarray(out[-1])[: radiance.shape[0]]
-        idx = np.nonzero(esc)[0]
-        if idx.size == 0:
-            return radiance
+        from qaray_tpu.fb.device_accum import accumulate_round
         from qaray_tpu.integrators.engine import render_batch_xla
 
+        idx = np.nonzero(esc_mask[: pixel_ids.size])[0]
+        if idx.size == 0:
+            return
         w = self.meta.img_width
+        dump_row = self.meta.img_width * self.meta.img_height
         n = idx.size
         padded = _pad_to_bucket(n)
-        epx = np.zeros(padded, np.int32)
-        epy = np.zeros(padded, np.int32)
+        eids = np.full(padded, dump_row, np.int32)
+        eids[:n] = pixel_ids[idx]
         esid = np.zeros(padded, np.int32)
-        epx[:n] = pixel_ids[idx] % w
-        epy[:n] = pixel_ids[idx] // w
-        esid[:n] = sids[idx] if np.ndim(sids) else sids
+        esid[:n] = sids[idx]
         fix = render_batch_xla(
             self.scene_arrays, self.meta, self.integrator_config(),
-            jax.numpy.asarray(epx), jax.numpy.asarray(epy),
+            jax.numpy.asarray(eids % w), jax.numpy.asarray(eids // w),
             jax.numpy.asarray(esid), self._base_key, self.photon_maps,
         )
-        radiance = np.array(radiance)
-        radiance[idx] = np.asarray(fix[0])[:n]
-        return radiance
+        self._accum, _ = accumulate_round(
+            self._accum, jax.numpy.asarray(eids), fix[0]
+        )
 
     def _retire_inflight(self):
-        """Fetch + accumulate the one in-flight dispatch, if any."""
+        """Retire the one in-flight dispatch: read its skipped-lane count
+        (one scalar — the round's only host transfer) and fix up any
+        gather-escalated lanes; fetch the depth plane on the first round."""
         if getattr(self, "_inflight", None) is None:
             return
-        ids, sample_idx, out, record_depth = self._inflight
+        ids, sample_idx, out, n_skip, record_depth = self._inflight
         self._inflight = None
         n = ids.size
-        radiance = np.asarray(out[0])[:n]
-        radiance = self._fix_escalated(
-            ids, np.full(n, sample_idx, np.int32), radiance, out
-        )
-        self.fb.accumulate(ids, radiance)
         if record_depth:
             self.fb.set_depth(ids, np.asarray(out[1])[:n])
-        if self._want_aux() and len(out) > 2:
-            self.fb.mark_irradiance(ids, np.asarray(out[2])[:n])
+        # Pace the pipeline one deep: a scalar read that depends on the
+        # retired round's output (block_until_ready can return at enqueue
+        # on this runtime; a transfer cannot).
+        float(out[0][0, 0])
+        if n_skip is not None and int(n_skip) > 0:
+            mask = np.asarray(out[-1])[:n]
+            self._accumulate_escalated(
+                ids, np.full(n, sample_idx, np.int32), mask
+            )
 
     _flush = _retire_inflight
 
@@ -370,20 +445,21 @@ class Renderer:
     def _maybe_checkpoint(self, spp_done: int):
         ce = self.param.checkpoint_every
         if ce and spp_done % ce == 0:
-            self._flush()
+            self.sync_fb()
             self.fb.save_state(self.param.checkpoint_path)
 
     def _report(self, spp_done: int):
         if self._progress_cb is not None:
-            # Flush the in-flight dispatch so external observers (the
-            # preview server's snapshots, probe endpoints) see the
-            # framebuffer at a consistent round boundary.
+            # Retire the in-flight dispatch so the accumulator state is at
+            # a consistent round boundary; observers that read pixel data
+            # (the preview server, probes) additionally call sync_fb — a
+            # full-plane fetch is too expensive to pay every round here.
             self._flush()
             self._progress_cb(spp_done, self.param.spp_max)
         pe = self.param.progressive_every
         if pe and spp_done % pe == 0 and spp_done < self.param.spp_max:
             # Progressive preview (the GUI renderer's live-view equivalent).
-            self._flush()
+            self.sync_fb()
             fb = self.fb
             import copy
 

@@ -90,6 +90,10 @@ class RenderServer:
         self.scene_desc = scene_desc
         self.port = port
         self._lock = threading.Lock()
+        # Serializes start/stop/edit across HTTP handler threads, and
+        # guarantees the worker is stopped BEFORE params/camera mutate
+        # (the live render must never observe inconsistent state mid-round).
+        self._ctl = threading.RLock()
         self._png = None
         self._zpng = None
         self._spppng = None
@@ -101,9 +105,12 @@ class RenderServer:
 
     # -- render loop --------------------------------------------------------
 
-    def _snapshot(self, fb):
+    def _snapshot(self, r):
         import copy
 
+        # Pull the device accumulator into the host mirror first (called on
+        # the worker thread at a round boundary, or after it stopped).
+        fb = r.sync_fb() if hasattr(r, "sync_fb") else r.fb
         snap = copy.deepcopy(fb)
         snap.finalize(self.renderer.param.use_srgb, self.renderer.param.spp_max)
         w, h = snap.width, snap.height
@@ -118,30 +125,33 @@ class RenderServer:
 
         def progress(done, total):
             self._spp_done = done
-            self._snapshot(r.fb)
+            self._snapshot(r)
 
         r.set_progress_callback(progress)
         r.compute_scene(self.scene_desc)
-        fb = r.render()
-        self._snapshot(fb)
+        r.render()
+        self._snapshot(r)
         self._rendering = False
 
     def start_render(self):
-        self.stop_render()
-        self._generation += 1
-        self._worker = threading.Thread(target=self._run_once, daemon=True)
-        self._worker.start()
+        with self._ctl:
+            self.stop_render()
+            self._generation += 1
+            self._worker = threading.Thread(target=self._run_once, daemon=True)
+            self._worker.start()
 
     def stop_render(self):
-        if self._worker is not None and self._worker.is_alive():
-            self.renderer.signal_stop()
-            self._worker.join()
-        self._worker = None
+        with self._ctl:
+            if self._worker is not None and self._worker.is_alive():
+                self.renderer.signal_stop()
+                self._worker.join()
+            self._worker = None
 
     # -- edits --------------------------------------------------------------
 
     def orbit(self, dyaw=0.0, dpitch=0.0, zoom=1.0):
         """Rotate the camera about its look-at point (right-drag analog)."""
+        self.stop_render()
         cam = self.scene_desc.camera
         pos = np.asarray(cam.pos, np.float64)
         dirv = np.asarray(cam.dir, np.float64)
@@ -169,6 +179,7 @@ class RenderServer:
         self.start_render()
 
     def set_params(self, **kw):
+        self.stop_render()
         p = self.renderer.param
         if "spp" in kw:
             p.spp_min = p.spp_max = int(kw["spp"])
@@ -176,6 +187,14 @@ class RenderServer:
             p.max_bounce = int(kw["bounce"])
         if "integrator" in kw:
             p.integrator = str(kw["integrator"])
+        # DoF preview (GUI viewport.cpp:365-391 jittered-camera
+        # accumulation): edit aperture/focal distance and re-render — the
+        # integrator's lens sampling accumulates the same blur
+        # progressively, so a low spp gives the quick preview.
+        if "dof" in kw:
+            self.scene_desc.camera.depth_of_field = float(kw["dof"])
+        if "focaldist" in kw:
+            self.scene_desc.camera.focal_distance = float(kw["focaldist"])
         self.start_render()
 
     # -- http ---------------------------------------------------------------
@@ -228,6 +247,11 @@ class RenderServer:
                     img = fb.sample_count_image()
                     self._send(200, "image/png",
                                _png_bytes(img, fb.width, fb.height))
+                elif u.path == "/irradiance.png" and fb is not None:
+                    # GUI view mode 5 (viewport.cpp:501-509): pixels whose
+                    # primary vertex performed a photon-gather estimate.
+                    self._send(200, "image/png",
+                               _png_bytes(fb.irrad, fb.width, fb.height))
                 elif u.path == "/status":
                     self._send(200, "application/json",
                                json.dumps(server.status()).encode())
