@@ -85,6 +85,10 @@ def parse_args(argv):
             # binary per node (Renderer_MPI.cpp:35-53); here the same CLI is
             # launched once per host.
             overrides["multihost"] = True
+        elif a == "-rank-debug":
+            # Per-process pre-gather debug planes in multihost mode
+            # (Renderer_MPI.cpp:134-138 per-rank PNG saves).
+            param.rank_debug = True
         elif a == "-coordinator":
             i += 1
             addr, rest = argv[i].split(",", 1)
@@ -190,6 +194,13 @@ def main(argv=None):
     timer.stop()
 
     if overrides.get("multihost"):
+        # Per-rank pre-gather debug planes BEFORE the primary-only gate
+        # (Renderer_MPI.cpp:134-138 saves each rank's buffers before the
+        # MPI composite).
+        if param.rank_debug:
+            import jax
+
+            renderer.save_rank_debug(out_prefix, jax.process_index())
         # Only the primary writes images (reference: rank 0 composites and
         # saves, Renderer_MPI.cpp:142-207; every process here already holds
         # the full gathered framebuffer).

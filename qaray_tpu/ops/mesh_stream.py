@@ -67,9 +67,10 @@ def build_stream(tri_v: np.ndarray, chunk: int = STREAM_CHUNK) -> StreamTris:
         0,
         np.where(an[:, 1] > an[:, 2], 1, 2),
     )
-    ij = {0: (1, 2), 1: (0, 2), 2: (0, 1)}
-    i_idx = np.array([ij[a][0] for a in ax])
-    j_idx = np.array([ij[a][1] for a in ax])
+    # ij = {0: (1, 2), 1: (0, 2), 2: (0, 1)} vectorized (a python loop here
+    # cost ~1.5 s at 1M triangles — scene-load latency).
+    i_idx = np.where(ax == 0, 1, 0)
+    j_idx = np.where(ax == 2, 1, 2)
     ar = np.arange(num)
     v0i, v0j = v0[ar, i_idx], v0[ar, j_idx]
     v1i, v1j = v1[ar, i_idx], v1[ar, j_idx]

@@ -60,6 +60,10 @@ class RendererParam:
     num_devices: int = 0  # 0/1 = single device; >1 = shard over a mesh
     progressive_every: int = 0  # save colorBuffer every N spp (0 = off)
     progressive_prefix: str = ""
+    # Multihost observability (-rank-debug): track which pixels' lanes were
+    # computed by THIS process's shards (the per-rank pre-gather debug PNGs
+    # of Renderer_MPI.cpp:134-138).
+    rank_debug: bool = False
     checkpoint_every: int = 0  # save resume state every N spp (0 = off)
     checkpoint_path: str = "render_checkpoint.npz"
 
@@ -193,6 +197,11 @@ class Renderer:
         from qaray_tpu.fb.device_accum import init_state
 
         self._accum = init_state(fb, want_irr=self._want_aux())
+        self._rank_mask = (
+            np.zeros(num_pixels, np.int32)
+            if (p.rank_debug and self._mesh is not None)
+            else None
+        )
 
         all_ids = np.arange(num_pixels, dtype=np.int32)
         start = time.time()
@@ -253,6 +262,41 @@ class Renderer:
         fb.finalize(p.use_srgb, p.spp_max)
         return fb
 
+    def _mark_ownership(self, ids_p: np.ndarray):
+        """-rank-debug: record which pixels this PROCESS's shards computed.
+
+        The 1-D ray mesh splits the padded lane axis evenly over devices in
+        mesh order; lanes on local devices are ours (the per-rank ownership
+        of Renderer_MPI's static round-robin, Renderer_MPI.cpp:134-138)."""
+        if getattr(self, "_rank_mask", None) is None:
+            return
+        devs = list(self._mesh.devices.flatten())
+        shard = ids_p.size // len(devs)
+        npx = self._rank_mask.size
+        for i, d in enumerate(devs):
+            if d.process_index == jax.process_index():
+                sl = ids_p[i * shard : (i + 1) * shard]
+                np.add.at(self._rank_mask, sl[sl < npx], 1)
+
+    def save_rank_debug(self, prefix: str, rank: int):
+        """Write this process's pre-gather ownership + spp planes
+        (Renderer_MPI.cpp:134-138 per-rank PNG analog)."""
+        if getattr(self, "_rank_mask", None) is None:
+            return
+        fb = self.fb
+        # Raw per-pixel owned-sample counts: the ranks' planes sum to the
+        # per-pixel spp (lane decomposition replaces the reference's
+        # pixel-tile round-robin, so per-pixel ownership is fractional).
+        fb.save_png(f"{prefix}rank{rank}_maskBuffer.png",
+                    np.clip(self._rank_mask, 0, 255).astype(np.uint8))
+        spp = getattr(fb, "sample_count_u8", None)
+        if spp is None:
+            fb.finalize(self.param.use_srgb, self.param.spp_max)
+            spp = fb.sample_count_u8
+        fb.save_png(f"{prefix}rank{rank}_sampleBuffer.png",
+                    np.where(self._rank_mask > 0, spp, 0).astype(np.uint8))
+
+
     def sync_fb(self):
         """Retire in-flight work and mirror the device accumulator into the
         host FrameBuffer (checkpoints, previews, probes, final image)."""
@@ -278,10 +322,12 @@ class Renderer:
         sids = np.repeat(np.asarray(sample_indices, np.int32), num_pixels)
         n = ids_tiled.size
         padded = _pad_to_bucket(n)
-        ids_p = np.zeros(padded, np.int32)
+        dump_row = meta.img_width * meta.img_height
+        ids_p = np.full(padded, dump_row, np.int32)
         ids_p[:n] = ids_tiled
         sids_p = np.zeros(padded, np.int32)
         sids_p[:n] = sids
+        self._mark_ownership(ids_p)
         out = self._render_fn(
             self.scene_arrays, meta, cfg,
             jax.numpy.asarray(ids_p % w), jax.numpy.asarray(ids_p // w),
@@ -351,6 +397,7 @@ class Renderer:
             padded = _pad_to_bucket(n)
             ids_p = np.full(padded, dump_row, np.int32)
             ids_p[:n] = ids
+            self._mark_ownership(ids_p)
             px = jax.numpy.asarray(ids_p % w)
             py = jax.numpy.asarray(ids_p // w)
             sample_ids = jax.numpy.full((padded,), sample_idx, jax.numpy.int32)

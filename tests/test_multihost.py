@@ -37,7 +37,7 @@ CHILD = textwrap.dedent(
         {scene!r}, "-platform", "cpu", "-res", "64x48",
         "-spp", "2", "-sppMin", "2", "-bounce", "2",
         "-multihost", "-coordinator", f"localhost:{{port}},2,{{rank}}",
-        "-out", out,
+        "-rank-debug", "-out", out,
     ])
     sys.exit(rc)
     """
@@ -82,9 +82,21 @@ def test_two_process_multihost_matches_single(tmp_path):
         assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"
     assert "process 0/2" in outs[0]
     assert "process 1/2" in outs[1]
-    # Primary-only IO gating (is_primary): rank 1 writes nothing.
+    # Primary-only IO gating (is_primary): rank 1 writes nothing —
+    # except its -rank-debug pre-gather planes (Renderer_MPI.cpp:134-138).
     assert (tmp_path / "mh0_colorBuffer.png").exists()
     assert not (tmp_path / "mh1_colorBuffer.png").exists()
+    from PIL import Image as _Im
+
+    m0 = np.asarray(_Im.open(tmp_path / "mh0_rank0_maskBuffer.png"))
+    m1 = np.asarray(_Im.open(tmp_path / "mh1_rank1_maskBuffer.png"))
+    assert (tmp_path / "mh0_rank0_sampleBuffer.png").exists()
+    assert (tmp_path / "mh1_rank1_sampleBuffer.png").exists()
+    # Ownership planes hold per-pixel owned-SAMPLE counts (the lane
+    # decomposition replaces the reference's pixel-tile round-robin):
+    # across ranks they must sum to the per-pixel spp, exactly.
+    assert np.all(m0.astype(int) + m1.astype(int) == 2), "counts != spp"
+    assert m0.sum() > 0 and m1.sum() > 0
 
     # Single-process reference render, same params.
     single = tmp_path / "single.py"
