@@ -444,7 +444,7 @@ def _shadow_occluded(kinds, prim_ref, p, d, t_max, mesh=None):
 
 
 def _closest_hit(kinds, mtls, prim_ref, mtl_ref, p, d, mesh=None,
-                 mesh_mtls=(), tex_slots=(), diff=None):
+                 mesh_mtls=(), tex_slots=(), diff=None, want_row=False):
     """Fused closest hit + winner attributes + material fold-in.
 
     Returns dict of [R,128] tiles: t, hit, n (world, unit), front, hp (world
@@ -475,6 +475,9 @@ def _closest_hit(kinds, mtls, prim_ref, mtl_ref, p, d, mesh=None,
     uv_b = (zero, zero)
     duv0_b = (zero, zero)
     duv1_b = (zero, zero)
+    # Winner's material-table row (f32; the adjoint kernel masks its
+    # per-row parameter accumulators with this).
+    row_b = jnp.full(shape, float(mtls[0] if mtls else 0), jnp.float32)
 
     def mtl_row(row):
         out = {
@@ -582,6 +585,8 @@ def _closest_hit(kinds, mtls, prim_ref, mtl_ref, p, d, mesh=None,
         t_best = jnp.where(take, t_hit, t_best)
         n_b = _where3(take, nw, n_b)
         front_b = jnp.where(take, front_p, front_b)
+        if want_row:
+            row_b = jnp.where(take, float(mtls[prim]), row_b)
         mrow = mtl_row(mtls[prim])
         for k, v in mrow.items():
             if isinstance(v, tuple):
@@ -660,6 +665,8 @@ def _closest_hit(kinds, mtls, prim_ref, mtl_ref, p, d, mesh=None,
         if diff is not None:
             out["duv0"] = duv0_b
             out["duv1"] = duv1_b
+    if want_row:
+        out["row"] = row_b
     return out
 
 
