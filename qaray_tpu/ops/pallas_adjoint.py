@@ -187,7 +187,7 @@ def _light_factor(kinds, prim_ref, light_ref, li, lkind, soft, cfg, p, kb):
     return v
 
 
-def _make_adjoint_kernel(meta, cfg):
+def _make_adjoint_kernel(meta, cfg, p_rows: int):
     kinds = meta.analytic_kinds
     mtls = meta.analytic_mtls
     lkinds = meta.light_kinds
@@ -536,11 +536,18 @@ def _make_adjoint_kernel(meta, cfg):
                 for k in range(3)
             ]
 
-        # --- reduce to the partial-sum row ---
+        # --- reduce to the partial-sum row(s) ---
+        # Mosaic supports neither scalar stores into VMEM refs nor
+        # scatter on register arrays; place each reduced scalar with an
+        # iota-mask select and write the tile once.
+        out_tile = jnp.zeros((p_rows, LANES), jnp.float32)
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (p_rows, LANES), 0)
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (p_rows, LANES), 1)
+
         def put(idx, tile):
-            r_i = idx // LANES
-            c_i = idx % LANES
-            out_ref[r_i, c_i] = jnp.sum(tile)
+            nonlocal out_tile
+            m = (row_iota == idx // LANES) & (lane_iota == idx % LANES)
+            out_tile = jnp.where(m, jnp.sum(tile), out_tile)
 
         for r in range(num_m):
             base = r * 16
@@ -560,8 +567,7 @@ def _make_adjoint_kernel(meta, cfg):
         for k in range(3):
             put(eb + k, g_bg[k])
             put(eb + 3 + k, g_env[k])
-        for idx in range(n_params, ((n_params + LANES - 1) // LANES) * LANES):
-            out_ref[idx // LANES, idx % LANES] = 0.0
+        out_ref[:, :] = out_tile
 
     return kernel
 
@@ -594,7 +600,8 @@ def adjoint_render(scene, meta, cfg, px, py, sample_ids, key_words, ct,
     key2 = _fold_words(key_words).reshape(1, 2).astype(jnp.uint32)
 
     n_params = param_layout(meta.num_materials, meta.num_lights)
-    p_rows = (n_params + LANES - 1) // LANES
+    # Mosaic block shapes need sublane counts divisible by 8.
+    p_rows = max(8, ((n_params + LANES - 1) // LANES + 7) // 8 * 8)
 
     block_spec = pl.BlockSpec(
         (BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -605,7 +612,7 @@ def adjoint_render(scene, meta, cfg, px, py, sample_ids, key_words, ct,
     )
 
     partials = pl.pallas_call(
-        _make_adjoint_kernel(meta, cfg),
+        _make_adjoint_kernel(meta, cfg, p_rows),
         grid=(grid,),
         in_specs=[small] * 5 + [block_spec] * 6,
         out_specs=out_spec,
