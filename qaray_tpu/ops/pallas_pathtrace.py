@@ -326,25 +326,27 @@ def _cluster_overlaps(cb_ref, c, bnd, t_hi):
     return (entry <= exit_) & (exit_ > BIAS) & (entry < t_hi) & nonempty
 
 
-def _mesh_tri_test(c16_ref, row, p, d):
+def _mesh_tri_test(c16_ref, row, p, d, col0: int = 0):
     """Sweep predicate for one triangle row vs the block ([R,128] lanes).
 
     Same linear-in-t math as ops/pallas_mesh._sweep_kernel; returns
     (t or BIGFLOAT, a, b, dn) — a/b are the v0/v1 barycentric weights,
-    dn = d . n decides the front flag (objects/objects.cpp:212-248)."""
-    nx = c16_ref[row, 0]
-    ny = c16_ref[row, 1]
-    nz = c16_ref[row, 2]
-    ax = c16_ref[row, 3]
-    ay = c16_ref[row, 4]
-    az = c16_ref[row, 5]
-    bx = c16_ref[row, 6]
-    by = c16_ref[row, 7]
-    bz = c16_ref[row, 8]
-    kk = c16_ref[row, 9]
-    a0 = c16_ref[row, 10]
-    b0 = c16_ref[row, 11]
-    nl = c16_ref[row, 12]
+    dn = d . n decides the front flag (objects/objects.cpp:212-248).
+    col0: static column offset — 0 for the [Fp,16] VMEM table, 16*k for
+    triangle k of a [Fp/8, 128] packed slab row."""
+    nx = c16_ref[row, col0 + 0]
+    ny = c16_ref[row, col0 + 1]
+    nz = c16_ref[row, col0 + 2]
+    ax = c16_ref[row, col0 + 3]
+    ay = c16_ref[row, col0 + 4]
+    az = c16_ref[row, col0 + 5]
+    bx = c16_ref[row, col0 + 6]
+    by = c16_ref[row, col0 + 7]
+    bz = c16_ref[row, col0 + 8]
+    kk = c16_ref[row, col0 + 9]
+    a0 = c16_ref[row, col0 + 10]
+    b0 = c16_ref[row, col0 + 11]
+    nl = c16_ref[row, col0 + 12]
     pn = p[0] * nx + p[1] * ny + p[2] * nz
     dn = d[0] * nx + d[1] * ny + d[2] * nz
     pa = p[0] * ax + p[1] * ay + p[2] * az
@@ -409,14 +411,16 @@ def _obj_ray(prim_ref, prim, p, d):
 
 
 def _shadow_occluded(kinds, prim_ref, p, d, t_max, mesh=None):
-    """Any-hit over all prims + (optionally) the VMEM mesh: BIAS < t < t_max
-    (GenLight::Shadow). mesh: (c16_ref, attr_ref, cb_ref, n_clusters)."""
+    """Any-hit over all prims + (optionally) the mesh: BIAS < t < t_max
+    (GenLight::Shadow). mesh: (c16_ref, attr_ref, cb_ref, n_clusters,
+    stream_ctx) — stream_ctx None for VMEM-resident tables, else
+    (sc_c16, sc_attr, sem) scratch for cluster-DMA streaming."""
     occ = jnp.zeros(p[0].shape, jnp.bool_)
     for prim in range(len(kinds)):
         _, po, do = _obj_ray(prim_ref, prim, p, d)
         occ = occ | (_prim_t(kinds[prim], po, do) < t_max)
     if mesh is not None:
-        c16_ref, _, cb_ref, n_clusters = mesh
+        c16_ref, _, cb_ref, n_clusters, stream_ctx = mesh
         bnd = _bundle_bounds(p, d)
         # Mosaic cannot carry i1 vectors through scf.for: occlusion rides
         # the loop as f32 0/1.
@@ -427,14 +431,34 @@ def _shadow_occluded(kinds, prim_ref, p, d, t_max, mesh=None):
             cond = _cluster_overlaps(cb_ref, c, bnd, t_hi)
 
             def run(occf):
-                def tri(j, occf):
-                    t, _, _, _ = _mesh_tri_test(c16_ref, c * MEGA_CLUSTER + j,
-                                                p, d)
-                    return jnp.maximum(
-                        occf, jnp.where(t < t_max, 1.0, 0.0)
-                    )
+                if stream_ctx is None:
+                    def tri(j, occf):
+                        t, _, _, _ = _mesh_tri_test(
+                            c16_ref, c * MEGA_CLUSTER + j, p, d
+                        )
+                        return jnp.maximum(
+                            occf, jnp.where(t < t_max, 1.0, 0.0)
+                        )
 
-                return jax.lax.fori_loop(0, MEGA_CLUSTER, tri, occf)
+                    return jax.lax.fori_loop(0, MEGA_CLUSTER, tri, occf)
+                sc_c16, _, sem = stream_ctx
+                slab = MEGA_CLUSTER // 8
+                dma = pltpu.make_async_copy(
+                    c16_ref.at[pl.ds(c * slab, slab), :], sc_c16, sem
+                )
+                dma.start()
+                dma.wait()
+
+                def r8_body(r8, occf):
+                    for k in range(8):
+                        t, _, _, _ = _mesh_tri_test(sc_c16, r8, p, d,
+                                                    col0=16 * k)
+                        occf = jnp.maximum(
+                            occf, jnp.where(t < t_max, 1.0, 0.0)
+                        )
+                    return occf
+
+                return jax.lax.fori_loop(0, slab, r8_body, occf)
 
             return jax.lax.cond(cond, run, lambda o: o, occf)
 
@@ -596,39 +620,58 @@ def _closest_hit(kinds, mtls, prim_ref, mtl_ref, p, d, mesh=None,
                 mtl_b[k] = jnp.where(take, v, mtl_b[k])
 
     if mesh is not None:
-        c16_ref, attr_ref, cb_ref, n_clusters = mesh
+        c16_ref, attr_ref, cb_ref, n_clusters, stream_ctx = mesh
         bnd = _bundle_bounds(p, d)
         mid_b = jnp.full(shape, -1.0, jnp.float32)
 
-        def cluster(c, carry):
+        def _fold_tri(carry, cref, aref, row, col0):
             t_b, nx, ny, nz, fr, mid = carry
+            t, a, b, dn = _mesh_tri_test(cref, row, p, d, col0=col0)
+            take = t < t_b
+            cc = 1.0 - a - b
+            # Smooth normal: a*n0 + b*n1 + c*n2 (the bary weights of
+            # intersect_triangles; TriObj::IntersectTriangle).
+            nwx = a * aref[row, col0 + 0] + b * aref[row, col0 + 3] \
+                + cc * aref[row, col0 + 6]
+            nwy = a * aref[row, col0 + 1] + b * aref[row, col0 + 4] \
+                + cc * aref[row, col0 + 7]
+            nwz = a * aref[row, col0 + 2] + b * aref[row, col0 + 5] \
+                + cc * aref[row, col0 + 8]
+            return (
+                jnp.where(take, t, t_b),
+                jnp.where(take, nwx, nx),
+                jnp.where(take, nwy, ny),
+                jnp.where(take, nwz, nz),
+                jnp.where(take, jnp.where(dn <= 0.0, 1.0, 0.0), fr),
+                jnp.where(take, aref[row, col0 + 9], mid),
+            )
+
+        def cluster(c, carry):
+            t_b = carry[0]
             cond = _cluster_overlaps(cb_ref, c, bnd, jnp.max(t_b))
 
             def run(carry):
-                def tri(j, carry):
-                    t_b, nx, ny, nz, fr, mid = carry
-                    row = c * MEGA_CLUSTER + j
-                    t, a, b, dn = _mesh_tri_test(c16_ref, row, p, d)
-                    take = t < t_b
-                    cc = 1.0 - a - b
-                    # Smooth normal: a*n0 + b*n1 + c*n2 (the bary weights of
-                    # intersect_triangles; TriObj::IntersectTriangle).
-                    nwx = a * attr_ref[row, 0] + b * attr_ref[row, 3] \
-                        + cc * attr_ref[row, 6]
-                    nwy = a * attr_ref[row, 1] + b * attr_ref[row, 4] \
-                        + cc * attr_ref[row, 7]
-                    nwz = a * attr_ref[row, 2] + b * attr_ref[row, 5] \
-                        + cc * attr_ref[row, 8]
-                    return (
-                        jnp.where(take, t, t_b),
-                        jnp.where(take, nwx, nx),
-                        jnp.where(take, nwy, ny),
-                        jnp.where(take, nwz, nz),
-                        jnp.where(take, jnp.where(dn <= 0.0, 1.0, 0.0), fr),
-                        jnp.where(take, attr_ref[row, 9], mid),
-                    )
+                if stream_ctx is None:
+                    def tri(j, carry):
+                        return _fold_tri(carry, c16_ref, attr_ref,
+                                         c * MEGA_CLUSTER + j, 0)
 
-                return jax.lax.fori_loop(0, MEGA_CLUSTER, tri, carry)
+                    return jax.lax.fori_loop(0, MEGA_CLUSTER, tri, carry)
+                sc_c16, sc_attr, sem = stream_ctx
+                slab = MEGA_CLUSTER // 8
+                for src, dst in ((c16_ref, sc_c16), (attr_ref, sc_attr)):
+                    dma = pltpu.make_async_copy(
+                        src.at[pl.ds(c * slab, slab), :], dst, sem
+                    )
+                    dma.start()
+                    dma.wait()
+
+                def r8_body(r8, carry):
+                    for k in range(8):
+                        carry = _fold_tri(carry, sc_c16, sc_attr, r8, 16 * k)
+                    return carry
+
+                return jax.lax.fori_loop(0, slab, r8_body, carry)
 
             return jax.lax.cond(cond, run, lambda x: x, carry)
 
@@ -966,13 +1009,25 @@ def _make_kernel(meta, cfg, n_clusters: int, pg_clusters: int = 0,
     )
     want_tex = any(tex_slots)
 
+    mesh_stream = meta.mesh_mega_stream
+
     def kernel(prim_ref, mtl_ref, light_ref, cam_ref, key_ref,
                mc16_ref, mattr_ref, mcb_ref,
                gtab_ref, gcb_ref, ctab_ref, ccb_ref, pr2_ref,
                px_ref, py_ref, sid_ref, r_out, g_out, b_out, t0_out,
-               *photon_outs):
+               *extra):
+        if has_mesh and mesh_stream:
+            # Scratch refs (appended after the outputs by pallas_call):
+            # cluster slabs DMA'd from the HBM-resident mega tables.
+            sc_c16, sc_attr, dma_sem = extra[-3:]
+            photon_outs = extra[:-3]
+            stream_ctx = (sc_c16, sc_attr, dma_sem)
+        else:
+            photon_outs = extra
+            stream_ctx = None
         mesh = (
-            (mc16_ref, mattr_ref, mcb_ref, n_clusters) if has_mesh else None
+            (mc16_ref, mattr_ref, mcb_ref, n_clusters, stream_ctx)
+            if has_mesh else None
         )
         px = px_ref[:]
         py = py_ref[:]
@@ -1502,7 +1557,11 @@ def _mega_raw(scene, meta, cfg, px, py, sample_ids, key_words,
         mc16 = scene.mesh.mega_c16
         mattr = scene.mesh.mega_attr
         mcb = scene.mesh.mega_cbounds
-        n_clusters = mc16.shape[0] // MEGA_CLUSTER
+        if meta.mesh_mega_stream:
+            # [Fp/8, 128] packed slabs in HBM (8 rows of 16 per lane row).
+            n_clusters = mc16.shape[0] // (MEGA_CLUSTER // 8)
+        else:
+            n_clusters = mc16.shape[0] // MEGA_CLUSTER
     else:
         mc16 = jnp.zeros((MEGA_CLUSTER, 16), jnp.float32)
         mattr = jnp.zeros((MEGA_CLUSTER, 16), jnp.float32)
@@ -1539,13 +1598,25 @@ def _mega_raw(scene, meta, cfg, px, py, sample_ids, key_words,
     n_rec = 17 if (use_photon and pg_clusters) else 0
     n_out = (6 + n_rec) if use_photon else 4
 
+    mesh_table_spec = small
+    scratch_shapes = []
+    if meta.mesh_mega and meta.mesh_mega_stream:
+        mesh_table_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch_shapes = [
+            pltpu.VMEM((MEGA_CLUSTER // 8, 128), jnp.float32),
+            pltpu.VMEM((MEGA_CLUSTER // 8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+
     outs = pl.pallas_call(
         _make_kernel(meta, cfg, n_clusters, pg_clusters, pc_clusters,
                      use_photon),
         grid=(grid,),
-        in_specs=[small] * 13 + [block_spec] * 3,
+        in_specs=[small] * 5 + [mesh_table_spec] * 2 + [small] * 6
+        + [block_spec] * 3,
         out_specs=(block_spec,) * n_out,
         out_shape=(f32s,) * n_out,
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(prim_tab, mtl_tab, light_tab, cam_tab, key2, mc16, mattr, mcb,
       gtab, gcb, ctab, ccb, pr2,

@@ -108,9 +108,10 @@ def packet_cull_entry(po, pd, t_hi, cbounds):
     return hit, jnp.maximum(entry, 0.0)
 
 
-def _closest_kernel(n_clusters, cluster, order_ref, entry_ref, count_ref, coeffT,
+def _closest_kernel(n_clusters, cluster, max_steps, order_ref, entry_ref,
+                    count_ref, coeffT,
                     px, py, pz, dx, dy, dz, tcur, tcap,
-                    t_out, row_out, row2_out, scratch, sem):
+                    t_out, row_out, row2_out, res_out, scratch, sem):
     rpx, rpy, rpz = px[:], py[:], pz[:]
     rdx, rdy, rdz = dx[:], dy[:], dz[:]
     t_in = tcur[:]
@@ -162,6 +163,11 @@ def _closest_kernel(n_clusters, cluster, order_ref, entry_ref, count_ref, coeffT
     def cond(state):
         j, t_b, r_b, t2_b, r2_b = state
         live = j < count
+        if max_steps:
+            # Budgeted phase-1 march (divergence compaction): stop after
+            # max_steps clusters; lanes still improvable are re-packed and
+            # finished by the phase-2 dispatch (tiled_closest_twophase).
+            live = live & (j < max_steps)
         ent = entry_ref[0, 0, jnp.minimum(j, n_clusters - 1)]
         # Per-lane termination bound: a lane can improve only below
         # min(current best, its root-box exit) — every triangle lies inside
@@ -192,10 +198,16 @@ def _closest_kernel(n_clusters, cluster, order_ref, entry_ref, count_ref, coeffT
         jnp.full(shape, BIGFLOAT, jnp.float32),
         jnp.full(shape, -1, jnp.int32),
     )
-    _, t_b, r_b, t2_b, r2_b = jax.lax.while_loop(cond, body, init)
+    jf, t_b, r_b, t2_b, r2_b = jax.lax.while_loop(cond, body, init)
     t_out[:] = t_b
     row_out[:] = jnp.where(t_b < t_in, r_b, -1)
     row2_out[:] = jnp.where(t2_b < BIGFLOAT, r2_b, -1)
+    # A lane is RESOLVED when no unvisited cluster can still improve it:
+    # the march is front-to-back, so that is "next entry bound exceeds the
+    # lane's min(best t, box exit)" — or the cluster list was exhausted.
+    ent_next = entry_ref[0, 0, jnp.minimum(jf, n_clusters - 1)]
+    resolved = (jf >= count) | (ent_next > jnp.minimum(t_b, cap))
+    res_out[:] = jnp.where(resolved, 1.0, 0.0)
 
 
 def _anyhit_kernel(n_clusters, cluster, order_ref, entry_ref, count_ref, coeffT,
@@ -275,13 +287,18 @@ def _anyhit_kernel(n_clusters, cluster, order_ref, entry_ref, count_ref, coeffT,
 
 
 @partial(jax.jit,
-         static_argnames=("any_hit", "interpret", "cluster", "packet_rows"))
+         static_argnames=("any_hit", "interpret", "cluster", "packet_rows",
+                          "max_steps"))
 def pallas_tiled_sweep(p, d, t_cur, tiles: TiledMesh, coeffT,
                        any_hit: bool = False, interpret: bool = False,
-                       cluster: int = CLUSTER, packet_rows: int = None):
+                       cluster: int = CLUSTER, packet_rows: int = None,
+                       max_steps: int = 0):
     """Drop-in counterpart of ops.mesh_tiles.tiled_sweep on the Pallas path.
 
-    closest: returns (t [B], row [B], row2 [B]) (sorted-row ids, -1 = none).
+    closest: returns (t [B], row [B], row2 [B], resolved [B] f32 0/1)
+    (sorted-row ids, -1 = none). max_steps > 0 caps the per-packet cluster
+    march (phase-1 of tiled_closest_twophase); lanes with resolved=0 may
+    still be improvable by unvisited clusters.
     any_hit: returns occluded [B] (t_cur is the per-ray budget).
     coeffT: [Fp/8, 128] from pack_coeffT (HBM-resident; clusters DMA'd).
     """
@@ -365,12 +382,12 @@ def pallas_tiled_sweep(p, d, t_cur, tiles: TiledMesh, coeffT,
         )(order, entry_sorted, counts, coeffT, *comps)
         return occ.reshape(-1)[:num] > 0.5
 
-    t, row, row2 = pl.pallas_call(
-        partial(_closest_kernel, n_clusters, cluster),
+    t, row, row2, res = pl.pallas_call(
+        partial(_closest_kernel, n_clusters, cluster, max_steps),
         grid=(g,),
         in_specs=[per_packet, per_packet, count_spec, hbm] + [block] * 8,
-        out_specs=(block, block, block),
-        out_shape=(f32s, i32s, i32s),
+        out_specs=(block, block, block, block),
+        out_shape=(f32s, i32s, i32s, f32s),
         scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(order, entry_sorted, counts, coeffT, *comps)
@@ -378,4 +395,56 @@ def pallas_tiled_sweep(p, d, t_cur, tiles: TiledMesh, coeffT,
         t.reshape(-1)[:num],
         row.reshape(-1)[:num],
         row2.reshape(-1)[:num],
+        res.reshape(-1)[:num],
     )
+
+
+@partial(jax.jit, static_argnames=("budget", "interpret"))
+def tiled_closest_twophase(p, d, t_cur, tiles: TiledMesh, coeffT,
+                           budget: int = 12, interpret: bool = False):
+    """Divergence-compacted closest hit: budgeted march, re-pack, finish.
+
+    A packet marches clusters until its WORST lane resolves, so one hard
+    lane stalls 2047 easy ones (MESH_SCALE.md's 1M-triangle diagnosis).
+    Phase 1 marches at most `budget` clusters per packet with the normal
+    coherence sort; lanes left improvable are then PACKED TOGETHER (stable
+    sort by the resolved flag — preserving coherence order within each
+    class) and finished by an unlimited phase 2. Resolved lanes ride along
+    with t_in = -1: they cannot be improved (t > BIAS > -1 never beats it)
+    and contribute nothing to any packet's termination bound, so
+    all-resolved packets terminate at the first entry check.
+
+    Returns (t, row, row2) in the CALLER's ray order (sorting is internal).
+    """
+    from qaray_tpu.ops.mesh_tiles import coherence_order
+
+    lo = jnp.min(tiles.cbounds[:, :3], axis=0)
+    hi = jnp.max(tiles.cbounds[:, 3:6], axis=0)
+    perm = coherence_order(p, d, lo, hi)
+    inv = jnp.argsort(perm)
+    ps, ds, ts = p[perm], d[perm], t_cur[perm]
+
+    if budget <= 0:
+        t, r, r2, _ = pallas_tiled_sweep(ps, ds, ts, tiles, coeffT,
+                                         interpret=interpret)
+        return t[inv], r[inv], r2[inv]
+
+    t1, r1, r21, res = pallas_tiled_sweep(
+        ps, ds, ts, tiles, coeffT, interpret=interpret, max_steps=budget
+    )
+    iota = jnp.arange(ps.shape[0], dtype=jnp.int32)
+    perm2 = jnp.argsort(
+        jnp.where(res > 0.5, iota + jnp.int32(1 << 30), iota)
+    )
+    inv2 = jnp.argsort(perm2)
+    t_seed = jnp.where(res > 0.5, -1.0, t1)
+    t2, r2b, r22, _ = pallas_tiled_sweep(
+        ps[perm2], ds[perm2], t_seed[perm2], tiles, coeffT,
+        interpret=interpret,
+    )
+    t2, r2b, r22 = t2[inv2], r2b[inv2], r22[inv2]
+    improved = r2b >= 0
+    t_f = jnp.where(improved, t2, t1)
+    r_f = jnp.where(improved, r2b, r1)
+    r2_f = jnp.where(improved, r22, r21)
+    return t_f[inv], r_f[inv], r2_f[inv]

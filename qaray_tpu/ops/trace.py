@@ -155,27 +155,41 @@ def _tiled_dispatch(scene, meta, p, d, t_cur, any_hit=False):
     if _use_pallas_tiles(scene, meta):
         from qaray_tpu.ops.pallas_tiles import pallas_tiled_sweep
 
-        return pallas_tiled_sweep(
+        out = pallas_tiled_sweep(
             p, d, t_cur, tiles, scene.mesh.tile_c16T, any_hit=any_hit
         )
+        return out if any_hit else out[:3]
     return tiled_sweep(p, d, t_cur, tiles, any_hit=any_hit)
 
 
 def _tiled_closest(scene, meta, p, d, t_cur):
     """Tiled packet-culled closest hit with exact winner re-test and
     runner-up fallback (same discipline as _stream_closest)."""
+    import os
+
     from qaray_tpu.ops.mesh_tiles import exact_winner_rows
 
     tiles = _tiles_of(scene)
-    perm = _tile_perm(p, d, tiles)
-    if perm is not None:
-        inv = jnp.argsort(perm)
-        _, rows_s, rows2_s = _tiled_dispatch(
-            scene, meta, p[perm], d[perm], t_cur[perm]
+    if _use_pallas_tiles(scene, meta):
+        # Two-phase divergence compaction (budgeted march + re-pack of the
+        # unresolved lanes); sorting is internal. QARAY_PTILE_BUDGET=0
+        # forces the single-phase sweep.
+        from qaray_tpu.ops.pallas_tiles import tiled_closest_twophase
+
+        budget = int(os.environ.get("QARAY_PTILE_BUDGET", "12"))
+        _, rows, rows2 = tiled_closest_twophase(
+            p, d, t_cur, tiles, scene.mesh.tile_c16T, budget=budget
         )
-        rows, rows2 = rows_s[inv], rows2_s[inv]
     else:
-        _, rows, rows2 = _tiled_dispatch(scene, meta, p, d, t_cur)
+        perm = _tile_perm(p, d, tiles)
+        if perm is not None:
+            inv = jnp.argsort(perm)
+            _, rows_s, rows2_s = _tiled_dispatch(
+                scene, meta, p[perm], d[perm], t_cur[perm]
+            )
+            rows, rows2 = rows_s[inv], rows2_s[inv]
+        else:
+            _, rows, rows2 = _tiled_dispatch(scene, meta, p, d, t_cur)
     t_e, bary, front, valid, gid = exact_winner_rows(
         p, d, rows, tiles, scene.mesh.tri_v
     )

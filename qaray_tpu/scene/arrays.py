@@ -207,6 +207,9 @@ class SceneMeta(NamedTuple):
     # during the sweep and merges params by comparing against this tuple.
     mesh_mega: bool = False
     mesh_mega_mtls: tuple = ()
+    # Streamed variant: mega tables live in HBM as [Fp/8, 128] slabs and
+    # clusters are DMA'd into kernel scratch (16k < tris <= 64k).
+    mesh_mega_stream: bool = False
     # Any material with reflection/refraction glossiness > 0 (static: lets
     # the engine skip the glossy-jitter sampling entirely for the common
     # non-glossy scene).

@@ -358,14 +358,30 @@ class SceneCompiler:
         wn_all = np.concatenate(wn_l) if wn_l else np.zeros((0, 3, 3))
         mtl_all = np.concatenate(mtl_l) if mtl_l else np.zeros(0, np.int32)
         self._mega_mtls = ()
-        if 0 < wv.shape[0] <= _mega_mesh_max_tris():
+        self._mega_stream = False
+        if 0 < wv.shape[0] <= _mega_stream_max_tris():
             distinct = tuple(sorted(int(m) for m in np.unique(mtl_all)))
             if len(distinct) <= 8:
                 from qaray_tpu.ops.pallas_pathtrace import build_mega_mesh
 
                 c16, attr, cb = build_mega_mesh(wv, wn_all, mtl_all)
-                tile_kw["mega_c16"] = jnp.asarray(c16)
-                tile_kw["mega_attr"] = jnp.asarray(attr)
+                if wv.shape[0] <= _mega_mesh_max_tris():
+                    # Whole mesh resident in VMEM (fastest).
+                    tile_kw["mega_c16"] = jnp.asarray(c16)
+                    tile_kw["mega_attr"] = jnp.asarray(attr)
+                else:
+                    # Cluster-DMA streamed megakernel mesh: tables stay in
+                    # HBM as [Fp/8, 128] slabs (8 rows of 16 cols per
+                    # 128-lane row — the pack_coeffT shaping, the only HBM
+                    # slices Mosaic can DMA), clusters copied into scratch
+                    # on demand. Softens the 16k-triangle cliff to 64k.
+                    tile_kw["mega_c16"] = jnp.asarray(
+                        c16.reshape(-1, 128)
+                    )
+                    tile_kw["mega_attr"] = jnp.asarray(
+                        attr.reshape(-1, 128)
+                    )
+                    self._mega_stream = True
                 tile_kw["mega_cbounds"] = jnp.asarray(cb)
                 self._mega_mtls = distinct
         mesh_arrays = MeshArrays(
@@ -726,6 +742,7 @@ class SceneCompiler:
             mesh_tiled=(use_world and arrays.mesh.tile_coeff is not None),
             mesh_mega=(use_world and arrays.mesh.mega_c16 is not None),
             mesh_mega_mtls=getattr(self, "_mega_mtls", ()),
+            mesh_mega_stream=getattr(self, "_mega_stream", False),
             max_leaf=self.max_leaf,
         )
         return arrays, meta
@@ -752,6 +769,16 @@ def _stream_max_tris() -> int:
     from qaray_tpu.ops.pallas_mesh import PALLAS_MESH_MAX_TRIS
 
     return int(os.environ.get("QARAY_STREAM_MAX_TRIS", PALLAS_MESH_MAX_TRIS))
+
+
+def _mega_stream_max_tris() -> int:
+    """Upper triangle bound for the cluster-DMA STREAMED megakernel mesh
+    (tables in HBM, clusters DMA'd per block). Above this the trace-level
+    tiled kernel is the better tool (its packet cull amortizes across
+    bounces differently)."""
+    import os
+
+    return int(os.environ.get("QARAY_MEGA_STREAM_MAX_TRIS", 65536))
 
 
 def _mega_mesh_max_tris() -> int:

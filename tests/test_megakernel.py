@@ -356,3 +356,50 @@ def test_mega_checker_textures_parity():
     rel = np.abs(rad_x - rad_m).max(-1) / (1.0 + np.abs(rad_x).max(-1))
     assert (rel > 1e-3).mean() < 5e-3, f"{(rel > 1e-3).mean():.2%}"
     assert np.abs(rad_x.mean(0) - rad_m.mean(0)).max() < 2e-3
+
+
+def test_mega_streamed_mesh_parity():
+    """16k < tris <= 64k: the megakernel streams mesh clusters by DMA from
+    HBM ([Fp/8,128] slabs) instead of falling off the fast path entirely
+    (the r04 16k cliff). Winner semantics match the XLA engine."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from make_mesh_goldens import icosphere
+
+    from qaray_tpu.scene import desc as D
+
+    scene = load_scene(f"{ASSETS}/mesh_scene.xml")
+    scene.camera.img_width, scene.camera.img_height = 64, 48
+    verts, faces = icosphere(5)  # 20480 triangles
+
+    def find_mesh(node):
+        if node.mesh is not None:
+            return node
+        for c in node.children:
+            r = find_mesh(c)
+            if r is not None:
+                return r
+
+    mn = find_mesh(scene.root)
+    mn.mesh = D.MeshDesc(name="ico5", vertices=np.asarray(verts, np.float32),
+                         faces=np.asarray(faces, np.int32))
+    arrays, meta = compile_scene(scene)
+    assert meta.mesh_mega and meta.mesh_mega_stream
+    cfg = IntegratorConfig(integrator="pathtrace", max_bounce=3,
+                           shadow_spp=4, shadow_spp_max=8)
+    B = 64 * 48
+    ids = np.arange(B, dtype=np.int32)
+    px = jnp.asarray(ids % 64)
+    py = jnp.asarray(ids // 64)
+    sids = jnp.zeros_like(px)
+    key = jax.random.key(5, impl="threefry2x32")
+    rad_x, t0_x = render_batch_xla(arrays, meta, cfg, px, py, sids, key)
+    rad_m, t0_m = mega_render(arrays, meta, cfg, "threefry2x32", True,
+                              px, py, sids, jax.random.key_data(key))
+    rad_x, rad_m = np.asarray(rad_x), np.asarray(rad_m)
+    tdiff = np.abs(np.asarray(t0_x) - np.asarray(t0_m))
+    assert (tdiff > 1e-3).mean() < 5e-3
+    rel = np.abs(rad_x - rad_m).max(-1) / (1 + np.abs(rad_x).max(-1))
+    assert (rel > 1e-3).mean() < 1e-2
+    assert np.abs(rad_x.mean(0) - rad_m.mean(0)).max() < 2e-3

@@ -35,7 +35,7 @@ def test_pallas_tiled_closest_matches_xla():
     coeffT = jnp.asarray(pack_coeffT(tiles.coeff, tiles.const))
     t_cur = jnp.full((p.shape[0],), BIGFLOAT)
     t_x, r_x, r2_x = tiled_sweep(p, d, t_cur, tiles)
-    t_p, r_p, r2_p = pallas_tiled_sweep(
+    t_p, r_p, r2_p, _ = pallas_tiled_sweep(
         p, d, t_cur, tiles, coeffT, interpret=True
     )
     t_x, r_x = np.asarray(t_x), np.asarray(r_x)
@@ -76,5 +76,27 @@ def test_pallas_tiled_budget_zero_lanes():
                            interpret=True)
     )
     assert not occ.any()
-    t, r, r2 = pallas_tiled_sweep(p, d, t_max, tiles, coeffT, interpret=True)
+    t, r, r2, _ = pallas_tiled_sweep(p, d, t_max, tiles, coeffT, interpret=True)
     assert (np.asarray(r) == -1).all()
+
+
+def test_twophase_matches_single_phase():
+    """tiled_closest_twophase (budgeted march + re-pack + finish) returns
+    the same winners as the unlimited single-phase sweep."""
+    from qaray_tpu.ops.pallas_tiles import tiled_closest_twophase
+
+    v, p, d = _scene(B=512, seed=4)
+    tiles = build_tiles(v)
+    coeffT = jnp.asarray(pack_coeffT(tiles.coeff, tiles.const))
+    t_cur = jnp.full((p.shape[0],), BIGFLOAT)
+
+    t1, r1, _ = tiled_closest_twophase(p, d, t_cur, tiles, coeffT,
+                                       budget=0, interpret=True)
+    t2, r2, _ = tiled_closest_twophase(p, d, t_cur, tiles, coeffT,
+                                       budget=1, interpret=True)
+    t3, r3, _ = tiled_closest_twophase(p, d, t_cur, tiles, coeffT,
+                                       budget=4, interpret=True)
+    assert np.array_equal(np.asarray(r1), np.asarray(r2))
+    assert np.array_equal(np.asarray(r1), np.asarray(r3))
+    np.testing.assert_allclose(np.asarray(t1)[np.asarray(r1) >= 0],
+                               np.asarray(t2)[np.asarray(r1) >= 0])

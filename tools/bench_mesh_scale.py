@@ -356,27 +356,33 @@ def main():
             from qaray_tpu.ops.pallas_tiles import (
                 pack_coeffT,
                 pallas_tiled_sweep,
+                tiled_closest_twophase,
             )
 
             t_build0 = time.perf_counter()
             tiles = build_tiles(tri_v)
-            coeffT = jnp.asarray(pack_coeffT(tiles.coeff, tiles.const))
+            cT_host = pack_coeffT(tiles.coeff, tiles.const)
+            t_host = time.perf_counter()
+            coeffT = jnp.asarray(cT_host)
+            coeffT.block_until_ready()
+            row["ptiles_build_host_s"] = round(t_host - t_build0, 3)
+            row["ptiles_upload_s"] = round(time.perf_counter() - t_host, 3)
             row["ptiles_build_s"] = round(time.perf_counter() - t_build0, 3)
 
             from qaray_tpu.ops.mesh_tiles import coherence_order
 
+            import os as _os
+
+            _budget = int(_os.environ.get("QARAY_PTILE_BUDGET", "12"))
+
             @jax.jit
             def f_pt(p, d, t_init, tiles, coeffT, tv):
                 # Mirror the production path (ops/trace._tiled_closest):
-                # coherence-sort rays so packets have tight cull bounds.
-                lo = jnp.min(tiles.cbounds[:, :3], axis=0)
-                hi = jnp.max(tiles.cbounds[:, 3:], axis=0)
-                perm = coherence_order(p, d, lo, hi)
-                inv = jnp.argsort(perm)
-                t, rows_, _ = pallas_tiled_sweep(
-                    p[perm], d[perm], t_init[perm], tiles, coeffT
+                # two-phase divergence-compacted march (sort internal).
+                t, rows_, _ = tiled_closest_twophase(
+                    p, d, t_init, tiles, coeffT, budget=_budget
                 )
-                return exact_winner_rows(p, d, rows_[inv], tiles, tv)
+                return exact_winner_rows(p, d, rows_, tiles, tv)
 
             out, dt = timeit(f_pt, p, d, t_init, tiles, coeffT, tv)
             row["ptiles_mrays_s"] = round(n_rays / dt / 1e6, 3)

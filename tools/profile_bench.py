@@ -144,7 +144,7 @@ def main():
     @jax.jit
     def f_tiled(p, d, t):
         perm = coherence_order(p, d, lo, hi)
-        tt, r, _ = pallas_tiled_sweep(p[perm], d[perm], t[perm], tiles,
+        tt, r, _, _ = pallas_tiled_sweep(p[perm], d[perm], t[perm], tiles,
                                       coeffT)
         return tt
 
