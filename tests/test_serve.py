@@ -44,6 +44,9 @@ def test_serve_lifecycle(tmp_path):
         assert z[:4] == b"\x89PNG"
         code, probe = _get(srv.port, "/probe?x=32&y=24")
         assert b"Color3c" in probe
+        # Irradiance debug plane endpoint (GUI view mode 5).
+        code, irr = _get(srv.port, "/irradiance.png")
+        assert code == 200 and irr[:4] == b"\x89PNG"
 
         # orbit: camera moves -> re-render -> different image
         gen0 = st["generation"]
