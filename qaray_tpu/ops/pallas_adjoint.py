@@ -92,7 +92,8 @@ def adjoint_supported(meta, cfg) -> bool:
     return (
         cfg.integrator == "pathtrace"
         and not cfg.use_photon_map
-        and meta.num_mesh_instances == 0
+        and (meta.num_mesh_instances == 0
+             or (meta.mesh_mega and not meta.mesh_mega_stream))
         and meta.num_analytic > 0
         and len(meta.analytic_kinds) == meta.num_analytic
         and not meta.has_mtl_textures
@@ -104,7 +105,8 @@ def adjoint_supported(meta, cfg) -> bool:
     )
 
 
-def _light_factor(kinds, prim_ref, light_ref, li, lkind, soft, cfg, p, kb):
+def _light_factor(kinds, prim_ref, light_ref, li, lkind, soft, cfg, p, kb,
+                  mesh=None):
     """Scalar visibility*falloff*spot factor V of light `li` per lane, with
     the same shadow draws as the forward (_illuminate,
     ops/pallas_pathtrace.py). inten_c = V * I_c for non-ambient lights."""
@@ -115,7 +117,7 @@ def _light_factor(kinds, prim_ref, light_ref, li, lkind, soft, cfg, p, kb):
         from qaray_tpu.core.constants import BIGFLOAT
 
         occ = _shadow_occluded(kinds, prim_ref, p, dn,
-                               jnp.full(shape, BIGFLOAT), None)
+                               jnp.full(shape, BIGFLOAT), mesh)
         v = 1.0 - occ.astype(jnp.float32)
     else:
         pos = _v3(light_ref, li, _LT_POS)
@@ -124,7 +126,7 @@ def _light_factor(kinds, prim_ref, light_ref, li, lkind, soft, cfg, p, kb):
             d2 = _dot3(vec, vec)
             dist = jnp.sqrt(jnp.maximum(d2, 1e-20))
             occ = _shadow_occluded(kinds, prim_ref, p,
-                                   _scale3(vec, 1.0 / dist), dist, None)
+                                   _scale3(vec, 1.0 / dist), dist, mesh)
             v = (1.0 - occ.astype(jnp.float32)) * jnp.minimum(
                 1.0, 1.0 / jnp.maximum(d2, 1e-20)
             )
@@ -155,7 +157,7 @@ def _light_factor(kinds, prim_ref, light_ref, li, lkind, soft, cfg, p, kb):
                 d2 = _dot3(vec, vec)
                 dist = jnp.sqrt(jnp.maximum(d2, 1e-20))
                 occ = _shadow_occluded(
-                    kinds, prim_ref, p, _scale3(vec, 1.0 / dist), dist, None
+                    kinds, prim_ref, p, _scale3(vec, 1.0 / dist), dist, mesh
                 )
                 x = 1.0 - occ.astype(jnp.float32)
                 fall = jnp.minimum(1.0, 1.0 / jnp.maximum(d2, 1e-20))
@@ -187,7 +189,8 @@ def _light_factor(kinds, prim_ref, light_ref, li, lkind, soft, cfg, p, kb):
     return v
 
 
-def _make_adjoint_kernel(meta, cfg, p_rows: int):
+def _make_adjoint_kernel(meta, cfg, p_rows: int,
+                         _n_mclusters: int = 0):
     kinds = meta.analytic_kinds
     mtls = meta.analytic_mtls
     lkinds = meta.light_kinds
@@ -200,8 +203,17 @@ def _make_adjoint_kernel(meta, cfg, p_rows: int):
     num_l = meta.num_lights
     n_params = param_layout(num_m, num_l)
 
+    has_mesh = meta.mesh_mega
+    mesh_mtls = meta.mesh_mega_mtls if has_mesh else ()
+    n_mclusters = _n_mclusters
+
     def kernel(prim_ref, mtl_ref, light_ref, cam_ref, key_ref,
+               mc16_ref, mattr_ref, mcb_ref,
                px_ref, py_ref, sid_ref, ctr_ref, ctg_ref, ctb_ref, out_ref):
+        mesh = (
+            (mc16_ref, mattr_ref, mcb_ref, n_mclusters, None)
+            if has_mesh else None
+        )
         px = px_ref[:]
         py = py_ref[:]
         sid = sid_ref[:]
@@ -268,6 +280,7 @@ def _make_adjoint_kernel(meta, cfg, p_rows: int):
 
         for bounce in range(max_bounce + 1):
             hits = _closest_hit(kinds, mtls, prim_ref, mtl_ref, p, d,
+                                mesh=mesh, mesh_mtls=mesh_mtls,
                                 want_row=True)
             hit = hits["hit"] & alive
             miss = (~hits["hit"]) & alive
@@ -343,7 +356,7 @@ def _make_adjoint_kernel(meta, cfg, p_rows: int):
                 if lkind == LIGHT_AMBIENT:
                     continue
                 vfac = _light_factor(kinds, prim_ref, light_ref, li, lkind,
-                                     lsoft[li], cfg, hits["hp"], kb)
+                                     lsoft[li], cfg, hits["hp"], kb, mesh)
                 inten = _v3(light_ref, li, _LT_INT)
                 if lkind == LIGHT_DIRECT:
                     ld = _neg3(_v3(light_ref, li, _LT_DIR))
@@ -598,6 +611,18 @@ def adjoint_render(scene, meta, cfg, px, py, sample_ids, key_words, ct,
 
     prim_tab, mtl_tab, light_tab, cam_tab = _pack_tables(scene)
     key2 = _fold_words(key_words).reshape(1, 2).astype(jnp.uint32)
+    from qaray_tpu.ops.pallas_pathtrace import MEGA_CLUSTER
+
+    if meta.mesh_mega:
+        mc16 = scene.mesh.mega_c16
+        mattr = scene.mesh.mega_attr
+        mcb = scene.mesh.mega_cbounds
+        n_mclusters = mc16.shape[0] // MEGA_CLUSTER
+    else:
+        mc16 = jnp.zeros((MEGA_CLUSTER, 16), jnp.float32)
+        mattr = jnp.zeros((MEGA_CLUSTER, 16), jnp.float32)
+        mcb = jnp.zeros((1, 8), jnp.float32)
+        n_mclusters = 0
 
     n_params = param_layout(meta.num_materials, meta.num_lights)
     # Mosaic block shapes need sublane counts divisible by 8.
@@ -612,13 +637,13 @@ def adjoint_render(scene, meta, cfg, px, py, sample_ids, key_words, ct,
     )
 
     partials = pl.pallas_call(
-        _make_adjoint_kernel(meta, cfg, p_rows),
+        _make_adjoint_kernel(meta, cfg, p_rows, n_mclusters),
         grid=(grid,),
-        in_specs=[small] * 5 + [block_spec] * 6,
+        in_specs=[small] * 8 + [block_spec] * 6,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((grid * p_rows, LANES), jnp.float32),
         interpret=interpret,
-    )(prim_tab, mtl_tab, light_tab, cam_tab, key2,
+    )(prim_tab, mtl_tab, light_tab, cam_tab, key2, mc16, mattr, mcb,
       shape2(px_p), shape2(py_p), shape2(sid_p),
       shape2(ct_p[:, 0]), shape2(ct_p[:, 1]), shape2(ct_p[:, 2]))
 

@@ -680,6 +680,9 @@ def _closest_hit(kinds, mtls, prim_ref, mtl_ref, p, d, mesh=None,
             (t_best, n_b[0], n_b[1], n_b[2], front_b, mid_b),
         )
         n_b = _norm3((nx, ny, nz), eps=1e-30)
+        if want_row:
+            # Mesh winners carry their material-table row in the attr fold.
+            row_b = jnp.where(mid_b >= 0.0, mid_b, row_b)
         # Material merge for mesh winners: static compare per distinct row.
         for mrow in mesh_mtls:
             m = mid_b == float(mrow)

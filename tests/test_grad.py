@@ -265,3 +265,62 @@ def test_adjoint_kernel_matches_xla_vjp(monkeypatch):
     eb = lb + meta.num_lights * 3
     check(flat[eb : eb + 3], gx.background)
     check(flat[eb + 3 : eb + 6], gx.environment)
+
+
+def test_adjoint_kernel_mesh_scene():
+    """Adjoint kernel on a mega-mesh scene: the in-kernel mesh sweep's
+    winner-material rows and mesh shadowing must replay in the backward."""
+    import jax
+    import jax.numpy as jnp
+
+    from qaray_tpu.diff import extract_params, splice_params
+    from qaray_tpu.integrators.engine import (
+        IntegratorConfig,
+        render_batch_xla_impl,
+    )
+    from qaray_tpu.ops.pallas_adjoint import (
+        adjoint_render,
+        adjoint_supported,
+    )
+    from qaray_tpu.scene.compiler import compile_scene
+    from qaray_tpu.scene.xml_parser import load_scene
+
+    scene = load_scene("tests/assets/mesh_scene.xml")
+    scene.camera.img_width, scene.camera.img_height = 40, 30
+    arrays, meta = compile_scene(scene)
+    cfg = IntegratorConfig(integrator="pathtrace", max_bounce=2,
+                           shadow_spp=2, shadow_spp_max=4)
+    assert meta.mesh_mega and adjoint_supported(meta, cfg)
+    B = 40 * 30
+    ids = np.arange(B, dtype=np.int32)
+    px = jnp.asarray(ids % 40)
+    py = jnp.asarray(ids // 40)
+    sids = jnp.zeros_like(px)
+    key = jax.random.key(3, impl="threefry2x32")
+    ct = jnp.asarray(np.random.RandomState(0).rand(B, 3).astype(np.float32))
+    params = extract_params(arrays)
+    meta_x = meta._replace(force_xla=True)
+
+    def loss(p):
+        rad, _ = render_batch_xla_impl(
+            splice_params(arrays, p), meta_x, cfg, px, py, sids, key
+        )
+        return jnp.sum(rad * ct)
+
+    gx = jax.grad(loss)(params)
+    flat = np.asarray(
+        adjoint_render(arrays, meta, cfg, px, py, sids,
+                       jax.random.key_data(key), ct, interpret=True)
+    )
+    m = meta.num_materials
+    mt = flat[: m * 16].reshape(m, 16)
+
+    def check(a, b, rtol=3e-2):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() / max(np.abs(b).max(), 1e-6) < rtol
+
+    check(mt[:, 0:3], gx.mtl_diffuse)
+    check(mt[:, 3:6], gx.mtl_specular)
+    check(mt[:, 15], gx.mtl_glossiness)
+    check(flat[m * 16 : m * 16 + meta.num_lights * 3].reshape(-1, 3),
+          gx.light_intensity)
