@@ -252,3 +252,47 @@ def test_caustics_map_degrades_to_empty(inputs_dir):
     cmap = _build_one_map(scene, meta, RendererParam(), 100, 6, 1.0,
                           caustics=True, seed=7, batch=512)
     assert int(np.asarray(cmap.valid).sum()) == 0
+
+
+def test_renderer_escalation_splice(monkeypatch, inputs_dir):
+    """End-to-end: lanes whose gather exceeds the 100-photon cap are
+    re-rendered on the exact XLA path and folded with exact per-pixel
+    counts (renderer._accumulate_escalated). A blown-up global-map radius
+    forces escalation on most gathering lanes; the megakernel render must
+    equal the pure-XLA render to quantization."""
+    import jax
+    import jax.numpy as jnp
+
+    from qaray_tpu.renderer import Renderer, RendererParam
+
+    def run(mega: bool):
+        jax.clear_caches()  # env-dependent routing is read at trace time
+        if mega:
+            monkeypatch.setenv("QARAY_MEGAKERNEL", "1")
+            monkeypatch.delenv("QARAY_NO_MEGAKERNEL", raising=False)
+        else:
+            monkeypatch.delenv("QARAY_MEGAKERNEL", raising=False)
+            monkeypatch.setenv("QARAY_NO_MEGAKERNEL", "1")
+        from qaray_tpu.scene.xml_parser import load_scene
+
+        scene = load_scene(f"{inputs_dir}/trc_mtl_glass.xml")
+        scene.camera.img_width, scene.camera.img_height = 40, 30
+        p = RendererParam(spp_min=1, spp_max=1, integrator="photonmap",
+                          use_photon_map=True, photon_map_size=300,
+                          caustics_map_size=80, photon_map_bounce=6,
+                          caustics_map_bounce=6, rng_impl="threefry2x32",
+                          max_bounce=3, shadow_spp=2, shadow_spp_max=4)
+        r = Renderer(p)
+        r.compute_scene(scene)
+        g, c = r.photon_maps
+        r.photon_maps = (g._replace(radius=jnp.asarray(np.float32(50.0))), c)
+        fb = r.render()
+        return np.asarray(fb.img, np.int32), r
+
+    img_m, rm = run(True)
+    img_x, _ = run(False)
+    assert rm._mega_photon
+    d = np.abs(img_m - img_x)
+    assert d.max() <= 3 and (d > 1).mean() < 0.01, (
+        f"max {d.max()}, frac>1 {(d > 1).mean():.3f}"
+    )
