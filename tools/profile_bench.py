@@ -154,6 +154,53 @@ def main():
         B, "front-to-back cluster march + early exit",
     )
 
+    # 5b. Two-phase divergence-compacted closest hit (same mesh).
+    from qaray_tpu.ops.pallas_tiles import tiled_closest_twophase
+
+    timeit(
+        f"pallas tiled TWO-PHASE closest ({F2} tris)",
+        lambda s: tiled_closest_twophase(p, d, tmax, tiles, coeffT,
+                                         budget=6)[0],
+        B, "budgeted march + re-pack unresolved + finish",
+    )
+
+    # 6. Photon gather sweep (10k-photon map, scene-surface queries).
+    from qaray_tpu.ops.pallas_photon import pallas_gather
+    from qaray_tpu.photon.gather import PhotonMapData
+    from qaray_tpu.photon.cluster import cluster_photon_map
+
+    P = 10000
+    ppos = rng.uniform(-15, 15, (P, 3)).astype(np.float32)
+    ppow = rng.uniform(0, 1e-3, (P, 3)).astype(np.float32)
+    pdir = rng.normal(size=(P, 3)).astype(np.float32)
+    pdir /= np.linalg.norm(pdir, axis=1, keepdims=True)
+    pmap = cluster_photon_map(PhotonMapData(
+        pos=jnp.asarray(ppos), power=jnp.asarray(ppow),
+        max_power=jnp.asarray(ppow.max(1)), direction=jnp.asarray(pdir),
+        radius=jnp.asarray(np.float32(0.2)),
+        valid=jnp.asarray(np.ones(P, bool)),
+    ))
+    qB = 1 << 18
+    q = jnp.asarray(rng.uniform(-15, 15, (qB, 3)).astype(np.float32))
+    timeit(
+        f"pallas photon gather sweep ({P}-photon map, shuffled queries)",
+        lambda s: pallas_gather(pmap.ctable, pmap.cbounds, pmap.radius,
+                                q)[0],
+        qB, "cluster-culled filtered-sum sweep (r_eff = r)",
+    )
+
+    # 7. Fused adjoint (backward) kernel on the box scene.
+    from qaray_tpu.ops.pallas_adjoint import adjoint_render
+
+    ct = jnp.full((B, 3), 1.0 / (B * 3), jnp.float32)
+    kd = jax.random.key_data(key)
+    timeit(
+        "pallas adjoint kernel (box, DiffParams grads)",
+        lambda s: adjoint_render(arrays, meta, cfg, px, py,
+                                 jnp.full((B,), s, jnp.int32), kd, ct),
+        B, "forward replay + reverse beta-chain + param reduce",
+    )
+
     # jax.profiler attempt (recorded for the artifact either way).
     prof_note = "not attempted"
     try:
@@ -184,7 +231,7 @@ def main():
 
     with open("PROFILE.md", "w") as f:
         f.write(
-            "# PROFILE — per-kernel timings (round 4)\n\n"
+            "# PROFILE — per-kernel timings (round 5)\n\n"
             f"Device: {dev}. Methodology: each production kernel timed in\n"
             "isolation, 6 pipelined dispatches per host sync, best of 3,\n"
             "forced completion by scalar reduction (block_until_ready can\n"
