@@ -90,3 +90,33 @@ def test_renderer_8device_cancel_checkpoint_resume(inputs_dir, tmp_path):
     fb_ref = r_ref.render()
     np.testing.assert_allclose(fb_ref.mean, fb_res.mean, atol=1e-6)
     assert np.array_equal(fb_ref.count, fb_res.count)
+
+
+def test_renderer_8device_photon_map(inputs_dir):
+    """Photon-mapped render over the 8-device mesh == single device.
+
+    Exercises the sharded dispatch with the photon-maps pytree replicated
+    (the MPI analog: every rank loads the scene AND builds the same maps)
+    and the device accumulator over sharded outputs."""
+    sd = load_scene(f"{inputs_dir}/trc_mtl_glass.xml")
+    sd.camera.img_width, sd.camera.img_height = 40, 30
+
+    def param(**kw):
+        return _param(
+            integrator="photonmap", use_photon_map=True,
+            photon_map_size=200, caustics_map_size=60,
+            photon_map_bounce=6, caustics_map_bounce=6,
+            spp_min=2, spp_max=2, **kw,
+        )
+
+    r1 = Renderer(param())
+    r1.compute_scene(sd)
+    fb1 = r1.render()
+
+    r8 = Renderer(param(num_devices=8, batch_pixels=512))
+    r8.compute_scene(sd)
+    fb8 = r8.render()
+
+    assert np.isfinite(fb8.mean).all()
+    np.testing.assert_allclose(fb1.mean, fb8.mean, atol=1e-5)
+    assert np.array_equal(fb1.count, fb8.count)
